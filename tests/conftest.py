@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (no multi-chip hardware needed —
+SURVEY.md §4 "How the new framework tests multi-node without a cluster").
+Must set env before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# FP32 parity with the PyTorch oracle requires un-fused, highest-precision
+# matmuls (SURVEY.md §7 hard part 1).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

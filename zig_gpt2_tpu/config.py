@@ -1,0 +1,97 @@
+"""Model configuration for the GPT-2 family.
+
+The reference hardcodes one config — ``GPTConfig.init(50257, 1024, 12, 12, 768)``
+at main.zig:346 — and one sampling temperature (0.8, main.zig:345). Here the
+whole GPT-2 family is first-class (124M/355M/774M/1.5B per BASELINE.json
+configs), plus tiny configs for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    """Architecture hyperparameters for a GPT-2 style decoder-only model."""
+
+    vocab_size: int = 50257
+    context_size: int = 1024
+    n_layers: int = 12
+    n_heads: int = 12
+    n_embed: int = 768
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embed // self.n_heads
+
+    @property
+    def n_params(self) -> int:
+        """Approximate parameter count (with weight tying, like the reference:
+        lm_head reuses wte — main.zig:312)."""
+        wte = self.vocab_size * self.n_embed
+        wpe = self.context_size * self.n_embed
+        per_block = (
+            # ln_1, ln_2 (weight + bias)
+            4 * self.n_embed
+            # c_attn: n_embed -> 3*n_embed
+            + self.n_embed * 3 * self.n_embed + 3 * self.n_embed
+            # c_proj: n_embed -> n_embed
+            + self.n_embed * self.n_embed + self.n_embed
+            # mlp c_fc: n_embed -> 4*n_embed
+            + self.n_embed * 4 * self.n_embed + 4 * self.n_embed
+            # mlp c_proj: 4*n_embed -> n_embed
+            + 4 * self.n_embed * self.n_embed + self.n_embed
+        )
+        ln_f = 2 * self.n_embed
+        return wte + wpe + self.n_layers * per_block + ln_f
+
+
+# The GPT-2 model family (BASELINE.json configs require all four sizes).
+GPT2_124M = GPTConfig(50257, 1024, 12, 12, 768)
+GPT2_355M = GPTConfig(50257, 1024, 24, 16, 1024)
+GPT2_774M = GPTConfig(50257, 1024, 36, 20, 1280)
+GPT2_1558M = GPTConfig(50257, 1024, 48, 25, 1600)
+
+# Tiny configs for unit tests / CI (shapes chosen to keep TPU tiling valid:
+# head_dim = 64 or 32, n_embed a multiple of 128 where possible).
+GPT2_NANO = GPTConfig(vocab_size=512, context_size=128, n_layers=2, n_heads=4, n_embed=128)
+GPT2_MICRO = GPTConfig(vocab_size=1024, context_size=256, n_layers=4, n_heads=4, n_embed=256)
+
+CONFIGS = {
+    "124M": GPT2_124M,
+    "355M": GPT2_355M,
+    "774M": GPT2_774M,
+    "1558M": GPT2_1558M,
+    "1.5B": GPT2_1558M,
+    "nano": GPT2_NANO,
+    "micro": GPT2_MICRO,
+}
+
+
+def get_config(name: str) -> GPTConfig:
+    try:
+        return CONFIGS[name]
+    except KeyError:
+        raise ValueError(f"unknown model config {name!r}; choices: {sorted(CONFIGS)}") from None
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Sampling hyperparameters.
+
+    The reference samples with ``logits /= temp; softmax; weightedIndex``
+    (main.zig:198-207) and re-seeds its RNG from the wall clock every token —
+    here sampling is keyed ``jax.random`` (reproducible) with temperature,
+    optional top-k, and greedy (temperature == 0) decode.
+    """
+
+    temperature: float = 0.8
+    top_k: Optional[int] = None
+    seed: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0

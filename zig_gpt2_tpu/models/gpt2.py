@@ -1,0 +1,311 @@
+"""GPT-2 as pure functions over parameter pytrees.
+
+A TPU-first re-design of the reference's model layer (main.zig:5-208):
+
+- Parameters are a plain dict pytree; all per-block leaves carry a leading
+  ``n_layers`` axis so the transformer stack is a single ``lax.scan`` — one
+  traced block instead of n_layers unrolled copies (compile time and HBM
+  locality; the reference instead loops over 12 Block structs,
+  main.zig:186-188).
+- The KV cache is a fixed-shape pytree ``{"k","v": (L, B, H, max_seq, D),
+  "length": (B,) int32}`` updated with dynamic slices — replacing the
+  reference's per-block Zig arrays + per-step full-cache transpose
+  (ops.zig:151-158, the ★★ inefficiency in SURVEY.md §3.3).
+- ``prefill`` consumes the whole prompt in one batched pass (the reference
+  feeds prompt tokens one at a time, main.zig:331-334, an artifact of its
+  batch=1 ops) and skips the lm_head except at the last position — the same
+  compute_logits=false optimization as main.zig:192-194.
+- ``decode_step`` is the zero-allocation steady state: jit with the cache
+  donated, so HBM buffers are updated in place (the TPU analogue of the
+  reference's preallocated State arena, main.zig:26-65).
+- Weight tying: lm_head = wte (main.zig:312).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zig_gpt2_tpu.config import GPTConfig
+from zig_gpt2_tpu.ops import layers as ops
+
+Params = Dict[str, Any]
+KVCache = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def init_params(
+    config: GPTConfig, key: jax.Array, dtype: jnp.dtype = jnp.float32
+) -> Params:
+    """Random GPT-2 initialization (N(0, 0.02), residual-proj scaled)."""
+    E, L = config.n_embed, config.n_layers
+    keys = iter(jax.random.split(key, 16))
+
+    def normal(k, shape, std=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    # Residual projections scaled by 1/sqrt(2*n_layers) (GPT-2 init).
+    proj_std = 0.02 / (2.0 * L) ** 0.5
+    params: Params = {
+        "wte": normal(next(keys), (config.vocab_size, E)),
+        "wpe": normal(next(keys), (config.context_size, E), std=0.01),
+        "blocks": {
+            "ln_1": {"w": jnp.ones((L, E), dtype), "b": jnp.zeros((L, E), dtype)},
+            "attn": {
+                "c_attn": {
+                    "w": normal(next(keys), (L, E, 3 * E)),
+                    "b": jnp.zeros((L, 3 * E), dtype),
+                },
+                "c_proj": {
+                    "w": normal(next(keys), (L, E, E), std=proj_std),
+                    "b": jnp.zeros((L, E), dtype),
+                },
+            },
+            "ln_2": {"w": jnp.ones((L, E), dtype), "b": jnp.zeros((L, E), dtype)},
+            "mlp": {
+                "c_fc": {
+                    "w": normal(next(keys), (L, E, 4 * E)),
+                    "b": jnp.zeros((L, 4 * E), dtype),
+                },
+                "c_proj": {
+                    "w": normal(next(keys), (L, 4 * E, E), std=proj_std),
+                    "b": jnp.zeros((L, E), dtype),
+                },
+            },
+        },
+        "ln_f": {"w": jnp.ones((E,), dtype), "b": jnp.zeros((E,), dtype)},
+    }
+    return params
+
+
+def init_kv_cache(
+    config: GPTConfig,
+    batch_size: int = 1,
+    max_seq: Optional[int] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> KVCache:
+    """Preallocate the full fixed-shape KV cache (reference: main.zig:298-299
+    allocates context_size×n_embed per block up front)."""
+    max_seq = max_seq or config.context_size
+    shape = (config.n_layers, batch_size, config.n_heads, max_seq, config.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "length": jnp.zeros((batch_size,), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+    """Apply a linear layer's param dict; dispatches to the fused
+    dequant+matmul path when the weight is quantized."""
+    if "qw" in p:
+        from zig_gpt2_tpu.quant import quantize as q
+
+        return q.quantized_linear(p, x)
+    return ops.linear(x, p["w"], p.get("b"))
+
+
+def _split_heads(qkv: jax.Array, n_heads: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(..., 3E) -> three (..., H, D) tensors (reference: split_qkv,
+    ops.zig:179-199)."""
+    *lead, three_e = qkv.shape
+    e = three_e // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    def heads(t):
+        return t.reshape(*lead, n_heads, e // n_heads)
+    return heads(q), heads(k), heads(v)
+
+
+def _block_prefill(
+    x: jax.Array,
+    bp: Params,
+    config: GPTConfig,
+    length_mask: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One transformer block over a full sequence. Returns (x, k, v) with
+    k/v shaped (B, H, T, D) for cache insertion.
+
+    Reference block semantics: main.zig:119-146 (ln_1 → attn → residual →
+    ln_2 → mlp → residual).
+    """
+    h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
+    qkv = _linear(bp["attn"]["c_attn"], h)
+    q, k, v = _split_heads(qkv, config.n_heads)  # (B, T, H, D)
+    q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
+    attn = ops.causal_attention(q, k, v, length_mask=length_mask)
+    attn = attn.swapaxes(1, 2).reshape(x.shape)
+    x = x + _linear(bp["attn"]["c_proj"], attn)
+    h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
+    h = _linear(bp["mlp"]["c_fc"], h)
+    h = ops.gelu(h)
+    x = x + _linear(bp["mlp"]["c_proj"], h)
+    return x, k, v
+
+
+def _block_decode(
+    x: jax.Array,
+    bp: Params,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos: jax.Array,
+    config: GPTConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One transformer block for a single decode token.
+
+    Args:
+      x: (B, E) current hidden state.
+      k_cache/v_cache: (B, H, max_seq, D) this layer's cache.
+      pos: (B,) int32 — index of the current token (== #cached tokens).
+
+    Returns (x, k_cache, v_cache) with the new K/V row written at ``pos``.
+    """
+    h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
+    qkv = _linear(bp["attn"]["c_attn"], h)
+    q, k, v = _split_heads(qkv, config.n_heads)  # (B, H, D)
+
+    # Append this token's K/V at row `pos` (per batch element). Replaces the
+    # reference's append + full-cache transpose (ops.zig:151-158) with an
+    # in-place dynamic update in the already-(H, S, D) layout.
+    def put_row(cache_b, row_b, pos_b):
+        return jax.lax.dynamic_update_slice_in_dim(
+            cache_b, row_b[:, None, :].astype(cache_b.dtype), pos_b, axis=1
+        )
+
+    k_cache = jax.vmap(put_row)(k_cache, k, pos)
+    v_cache = jax.vmap(put_row)(v_cache, v, pos)
+
+    attn = ops.decode_attention(q, k_cache, v_cache, pos + 1)
+    attn = attn.reshape(x.shape)
+    x = x + _linear(bp["attn"]["c_proj"], attn)
+    h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
+    h = _linear(bp["mlp"]["c_fc"], h)
+    h = ops.gelu(h)
+    x = x + _linear(bp["mlp"]["c_proj"], h)
+    return x, k_cache, v_cache
+
+
+def _lm_head(params: Params, x: jax.Array) -> jax.Array:
+    """Tied lm_head: logits = x @ wte^T, no bias (main.zig:312)."""
+    wte = params["wte"]
+    if "lm_head" in params:  # untied / quantized override
+        return _linear(params["lm_head"], x)
+    return jnp.dot(x, wte.T, preferred_element_type=x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+def forward(params: Params, tokens: jax.Array, config: GPTConfig) -> jax.Array:
+    """Full-sequence forward: (B, T) int32 tokens -> (B, T, vocab) logits.
+
+    Used for perplexity eval, training, and end-to-end parity with the
+    PyTorch oracle (reference: generate_nano_gpt.py full-sequence forward).
+    """
+    B, T = tokens.shape
+    pos = jnp.arange(T)
+    x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
+
+    def step(x, bp):
+        x, _, _ = _block_prefill(x, bp, config, length_mask=None)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, params["blocks"])
+    x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
+    return _lm_head(params, x)
+
+
+def prefill(
+    params: Params,
+    cache: KVCache,
+    tokens: jax.Array,
+    lengths: jax.Array,
+    config: GPTConfig,
+) -> Tuple[KVCache, jax.Array]:
+    """Process a (padded) prompt batch in one pass, filling the KV cache.
+
+    Args:
+      tokens: (B, T) int32, right-padded to a static T.
+      lengths: (B,) int32 true prompt lengths (1 <= length <= T).
+
+    Returns (cache, last_logits) where last_logits is (B, vocab) at each
+    sequence's final prompt position. The lm_head runs only on that one
+    position per sequence (the reference's compute_logits=false prefill
+    optimization, main.zig:192-194, batched).
+    """
+    B, T = tokens.shape
+    pos = jnp.arange(T)
+    x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
+    length_mask = pos[None, :] < lengths[:, None]  # (B, T)
+
+    def step(x, xs):
+        bp, k_cache, v_cache = xs
+        x, k, v = _block_prefill(x, bp, config, length_mask=length_mask)
+        # Write the first T rows of the cache in place.
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k.astype(k_cache.dtype), 0, axis=2
+        )
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v.astype(v_cache.dtype), 0, axis=2
+        )
+        return x, (k_cache, v_cache)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        step, x, (params["blocks"], cache["k"], cache["v"])
+    )
+    x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
+    # Gather each sequence's last valid hidden state, then one lm_head GEMM.
+    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    logits = _lm_head(params, last)
+    new_cache = {"k": k_new, "v": v_new, "length": lengths}
+    return new_cache, logits
+
+
+def decode_step(
+    params: Params,
+    cache: KVCache,
+    tokens: jax.Array,
+    config: GPTConfig,
+) -> Tuple[KVCache, jax.Array]:
+    """One autoregressive step: (B,) tokens -> (cache', (B, vocab) logits).
+
+    The per-token hot loop (reference: GPT.forward, main.zig:178-196). Jit
+    this with ``donate_argnums`` on the cache for in-place HBM updates.
+    """
+    pos = cache["length"]  # (B,) index of the incoming token
+    x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
+
+    def step(x, xs):
+        bp, k_cache, v_cache = xs
+        x, k_cache, v_cache = _block_decode(x, bp, k_cache, v_cache, pos, config)
+        return x, (k_cache, v_cache)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        step, x, (params["blocks"], cache["k"], cache["v"])
+    )
+    x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
+    logits = _lm_head(params, x)
+    new_cache = {"k": k_new, "v": v_new, "length": pos + 1}
+    return new_cache, logits
+
+
+def make_decode_step(config: GPTConfig):
+    """Jitted decode step with the KV cache donated (zero-allocation steady
+    state — the TPU analogue of the reference's State arena)."""
+    fn = functools.partial(decode_step, config=config)
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+def make_prefill(config: GPTConfig):
+    fn = functools.partial(prefill, config=config)
+    return jax.jit(fn, donate_argnums=(1,))

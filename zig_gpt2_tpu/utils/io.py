@@ -1,0 +1,169 @@
+"""Weight / tensor IO.
+
+Keeps the reference's headerless raw-binary tensor format for parity
+(ops.zig:309-320: little-endian payload, shape & dtype supplied by the
+caller; path scheme ``model-<tfvar with / -> ->`` from main.zig:216 and
+download_weights.py:62) and adds:
+
+- memory-mapped loading straight into ``jax.device_put`` with shardings,
+- assembly of the stacked (scan-over-layers) parameter pytree,
+- export back to the raw format, so golden-data tools and the original
+  reference binary can consume weights produced here.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_gpt2_tpu.config import GPTConfig
+
+
+def load_tensor(
+    path: str | Path, shape: Sequence[int], dtype: np.dtype = np.float32
+) -> np.ndarray:
+    """Read a headerless raw tensor (reference: ops.zig:309-320). Uses mmap so
+    500 MB+ checkpoints don't double-buffer on the host."""
+    arr = np.memmap(path, dtype=dtype, mode="r")
+    n = int(np.prod(shape))
+    if arr.size != n:
+        raise ValueError(f"{path}: expected {n} elements ({shape}), found {arr.size}")
+    return np.asarray(arr).reshape(shape)
+
+
+def save_tensor(path: str | Path, arr: np.ndarray) -> None:
+    """Write the headerless raw format (same bytes ops.zig:309-320 reads)."""
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.ascontiguousarray(arr).tofile(path)
+
+
+def load_json(path: str | Path) -> Any:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 raw checkpoint <-> stacked param pytree
+# ---------------------------------------------------------------------------
+# Raw-file naming (mirrors the TF checkpoint variables, '/'->'-'; identical to
+# the reference's scheme so checkpoints are interchangeable):
+#   model-wte, model-wpe
+#   model-h{i}-ln_1-{g,b}, model-h{i}-attn-c_attn-{w,b},
+#   model-h{i}-attn-c_proj-{w,b}, model-h{i}-ln_2-{g,b},
+#   model-h{i}-mlp-c_fc-{w,b}, model-h{i}-mlp-c_proj-{w,b}
+#   model-ln_f-{g,b}
+# NOTE on '-w' tensors: the reference's exporter transposes them to
+# column-major (out, in) for cblas_sgemm (download_weights.py:57-64). We store
+# and load the same (out, in) layout for interchangeability, then transpose
+# back to (in, out) on import — (in, out) is the MXU-friendly x @ W layout.
+
+
+def _linear_from_raw(d: Path, name: str, n_in: int, n_out: int, dtype) -> Dict[str, np.ndarray]:
+    w = load_tensor(d / f"model-{name}-w", (n_out, n_in)).T  # -> (in, out)
+    b = load_tensor(d / f"model-{name}-b", (n_out,))
+    return {"w": np.ascontiguousarray(w, dtype=dtype), "b": b.astype(dtype)}
+
+
+def _ln_from_raw(d: Path, name: str, n: int, dtype) -> Dict[str, np.ndarray]:
+    return {
+        "w": load_tensor(d / f"model-{name}-g", (n,)).astype(dtype),
+        "b": load_tensor(d / f"model-{name}-b", (n,)).astype(dtype),
+    }
+
+
+def load_gpt2_raw(
+    raw_dir: str | Path,
+    config: GPTConfig,
+    dtype: np.dtype = np.float32,
+    device_put: bool = True,
+    shardings: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Assemble the stacked parameter pytree from a raw-format checkpoint
+    directory (reference loaders: main.zig:210-320). Weight tying is
+    implicit — there is no lm_head file; the model uses wte (main.zig:312)."""
+    d = Path(raw_dir)
+    E, L = config.n_embed, config.n_layers
+
+    def stack(fn):
+        return np.stack([fn(i) for i in range(L)])
+
+    blocks = {
+        "ln_1": _stack_tree([_ln_from_raw(d, f"h{i}-ln_1", E, dtype) for i in range(L)]),
+        "attn": {
+            "c_attn": _stack_tree(
+                [_linear_from_raw(d, f"h{i}-attn-c_attn", E, 3 * E, dtype) for i in range(L)]
+            ),
+            "c_proj": _stack_tree(
+                [_linear_from_raw(d, f"h{i}-attn-c_proj", E, E, dtype) for i in range(L)]
+            ),
+        },
+        "ln_2": _stack_tree([_ln_from_raw(d, f"h{i}-ln_2", E, dtype) for i in range(L)]),
+        "mlp": {
+            "c_fc": _stack_tree(
+                [_linear_from_raw(d, f"h{i}-mlp-c_fc", E, 4 * E, dtype) for i in range(L)]
+            ),
+            "c_proj": _stack_tree(
+                [_linear_from_raw(d, f"h{i}-mlp-c_proj", 4 * E, E, dtype) for i in range(L)]
+            ),
+        },
+    }
+    params = {
+        "wte": load_tensor(d / "model-wte", (config.vocab_size, E)).astype(dtype),
+        "wpe": load_tensor(d / "model-wpe", (config.context_size, E)).astype(dtype),
+        "blocks": blocks,
+        "ln_f": _ln_from_raw(d, "ln_f", E, dtype),
+    }
+    if device_put:
+        if shardings is not None:
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s), params, shardings
+            )
+        else:
+            params = jax.tree.map(jnp.asarray, params)
+    return params
+
+
+def save_gpt2_raw(params: Dict[str, Any], raw_dir: str | Path, config: GPTConfig) -> None:
+    """Export the stacked pytree back to the raw format (inverse of
+    load_gpt2_raw; '-w' tensors re-transposed to the reference's (out, in))."""
+    d = Path(raw_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    p = jax.tree.map(np.asarray, params)
+
+    def save_linear(name, lp, i):
+        save_tensor(d / f"model-{name}-w", np.ascontiguousarray(lp["w"][i].T))
+        save_tensor(d / f"model-{name}-b", lp["b"][i])
+
+    def save_ln(name, lp, i=None):
+        w = lp["w"] if i is None else lp["w"][i]
+        b = lp["b"] if i is None else lp["b"][i]
+        save_tensor(d / f"model-{name}-g", w)
+        save_tensor(d / f"model-{name}-b", b)
+
+    save_tensor(d / "model-wte", p["wte"])
+    save_tensor(d / "model-wpe", p["wpe"])
+    for i in range(config.n_layers):
+        save_ln(f"h{i}-ln_1", p["blocks"]["ln_1"], i)
+        save_linear(f"h{i}-attn-c_attn", p["blocks"]["attn"]["c_attn"], i)
+        save_linear(f"h{i}-attn-c_proj", p["blocks"]["attn"]["c_proj"], i)
+        save_ln(f"h{i}-ln_2", p["blocks"]["ln_2"], i)
+        save_linear(f"h{i}-mlp-c_fc", p["blocks"]["mlp"]["c_fc"], i)
+        save_linear(f"h{i}-mlp-c_proj", p["blocks"]["mlp"]["c_proj"], i)
+    save_ln("ln_f", p["ln_f"])
+
+
+def _stack_tree(trees: list) -> Dict[str, np.ndarray]:
+    """Stack a list of identical dict-of-array trees along a new axis 0."""
+    out = {}
+    for k in trees[0]:
+        vals = [t[k] for t in trees]
+        if isinstance(vals[0], dict):
+            out[k] = _stack_tree(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
