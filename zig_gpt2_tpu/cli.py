@@ -1,0 +1,137 @@
+"""CLI driver.
+
+Reference interface: ``zig_gpt2 "<prompt>"`` with hardcoded temp=0.8 and the
+124M config (main.zig:344-371). Same defaults here, everything configurable
+(SURVEY.md §5 config system): model size, dtype, quantization, sampling,
+sequence budget, mesh shape, profiling.
+
+Examples::
+
+    zig-gpt2-tpu "Hello, my name is"                      # needs weights
+    zig-gpt2-tpu --demo "the quick brown"                  # self-contained demo
+    zig-gpt2-tpu --model 355M --weights models/355M/raw \
+                 --encoder-dir models/355M --quant int8 "..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="zig-gpt2-tpu", description=__doc__)
+    p.add_argument("prompt", nargs="?", default=None, help="prompt text (argv[1], like the reference)")
+    p.add_argument("--model", default="124M", help="config name: 124M/355M/774M/1558M/nano/micro")
+    p.add_argument("--weights", default=None, help="raw checkpoint dir (e.g. models/124M/raw)")
+    p.add_argument("--encoder-dir", default=None, help="dir holding encoder.json + vocab.bpe")
+    p.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"], help="weight/activation dtype")
+    p.add_argument("--quant", default=None, choices=["int8", "int4"], help="weight-only quantization")
+    p.add_argument("--kv-quant", action="store_true", help="INT8 KV cache")
+    p.add_argument("--temp", type=float, default=0.8, help="sampling temperature (reference default 0.8)")
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-tokens", type=int, default=None, help="default: run to the context window end, like the reference")
+    p.add_argument("--max-seq", type=int, default=None)
+    p.add_argument("--mesh", default=None, help="tensor-parallel mesh shape, e.g. '1x8' (data x model)")
+    p.add_argument("--profile", default=None, metavar="DIR", help="write an XProf trace to DIR")
+    p.add_argument("--metrics", action="store_true", help="print timing metrics to stderr")
+    p.add_argument("--demo", action="store_true", help="random tiny model + on-the-fly tokenizer (no weights needed)")
+    return p
+
+
+def _load_encoder(args):
+    from zig_gpt2_tpu.tokenizer import Encoder
+
+    d = Path(args.encoder_dir or f"models/{args.model}")
+    enc_json, bpe = d / "encoder.json", d / "vocab.bpe"
+    if not enc_json.exists():
+        sys.exit(
+            f"error: {enc_json} not found — run tools/download_weights.py first, "
+            "or use --demo for a self-contained run"
+        )
+    return Encoder.from_files(enc_json, bpe if bpe.exists() else None,
+                              mode="bpe" if bpe.exists() else "greedy")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.prompt is None:
+        sys.exit("error: missing prompt (usage: zig-gpt2-tpu \"<prompt>\")")
+
+    import jax
+    import jax.numpy as jnp
+
+    from zig_gpt2_tpu.config import SamplingConfig, get_config
+    from zig_gpt2_tpu.models import gpt2
+    from zig_gpt2_tpu.runtime.engine import GenerationMetrics, InferenceEngine
+    from zig_gpt2_tpu.utils.profiling import xprof_trace
+
+    dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
+
+    if args.demo:
+        from zig_gpt2_tpu.config import GPTConfig
+        from zig_gpt2_tpu.tokenizer import Encoder, train_bpe
+
+        demo_text = (
+            "the quick brown fox jumps over the lazy dog. "
+            "hello world, streaming tokens from a tiny random model. "
+        ) * 4 + args.prompt
+        vocab, merges = train_bpe(demo_text, vocab_size=320)
+        encoder = Encoder(vocab, merges)
+        config = GPTConfig(vocab_size=len(vocab), context_size=256,
+                           n_layers=2, n_heads=4, n_embed=128)
+        params = gpt2.init_params(config, jax.random.PRNGKey(args.seed), dtype)
+    else:
+        config = get_config(args.model)
+        encoder = _load_encoder(args)
+        if args.weights is None:
+            sys.exit("error: --weights required (or use --demo)")
+        from zig_gpt2_tpu.utils import io as zio
+
+        shardings = None
+        if args.mesh:
+            from zig_gpt2_tpu.parallel import mesh as pmesh
+
+            dp, tp = (int(x) for x in args.mesh.split("x"))
+            m = pmesh.make_mesh(dp, tp)
+            shardings = pmesh.param_shardings(m, config)
+        params = zio.load_gpt2_raw(args.weights, config, dtype=dtype, shardings=shardings)
+        if args.quant:
+            from zig_gpt2_tpu.quant import quantize as q
+
+            params = q.quantize_params(params, mode=args.quant)
+
+    engine = InferenceEngine(config, params, encoder, max_seq=args.max_seq)
+    sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k, seed=args.seed)
+    metrics = GenerationMetrics()
+
+    print(args.prompt, end="", flush=True)
+    with xprof_trace(args.profile):
+        engine.generate_text(
+            args.prompt, args.max_tokens, sampling, stream_to=sys.stdout, metrics=metrics
+        )
+    print()
+    if args.metrics:
+        print(
+            json.dumps(
+                {
+                    "prompt_tokens": metrics.prompt_tokens,
+                    "generated_tokens": metrics.generated_tokens,
+                    "prefill_ms": round(metrics.prefill_ms, 3),
+                    "ms_per_token": round(metrics.ms_per_token, 3),
+                    "ms_per_token_p50": round(metrics.ms_per_token_percentile(50), 3),
+                    "ms_per_token_p99": round(metrics.ms_per_token_percentile(99), 3),
+                    "tokens_per_sec": round(metrics.tokens_per_sec, 2),
+                }
+            ),
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Generation runtime: streaming KV-cached decode.
+
+The TPU re-design of the reference's generate loop (main.zig:322-342):
+
+- Prefill consumes the whole prompt in one jitted pass (vs. 1 token/step).
+- The steady-state step is ONE jitted function ``(params, cache, token, key)
+  -> (cache, token, key)`` — decode + temperature/top-k sampling fused on
+  device, cache donated, so the host round-trip per token is a single int32
+  (needed only because we stream text, like the reference streams to stderr
+  at main.zig:339-340).
+- For throughput benchmarking there is also ``generate_scan``: the whole
+  token loop as one ``lax.scan`` on device — zero host involvement.
+- Prompts are bucketed to a few static lengths so jit re-traces are bounded.
+- Stop-token handling and max_new_tokens are supported (the reference always
+  runs to the full 1024 window, main.zig:330 — a documented quirk, available
+  here as ``max_new_tokens=None``).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_gpt2_tpu.config import GPTConfig, SamplingConfig
+from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.runtime.sampling import sample
+
+
+class StreamDecoder:
+    """Incremental detokenizer that never emits partial UTF-8 sequences.
+
+    The reference decodes and prints each token immediately (main.zig:339-340)
+    — safe there only because its 20-byte scratch decode is per-token. Byte-
+    level BPE tokens can split multi-byte UTF-8 characters, so we buffer
+    incomplete tails.
+    """
+
+    def __init__(self, encoder):
+        self.encoder = encoder
+        self._pending = b""
+
+    def push(self, token_id: int) -> str:
+        data = self._pending + self.encoder.decode_bytes([token_id])
+        # Find the longest prefix that is complete UTF-8.
+        for cut in range(len(data), max(len(data) - 4, -1), -1):
+            try:
+                text = data[:cut].decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            self._pending = data[cut:]
+            return text
+        self._pending = data
+        return ""
+
+    def flush(self) -> str:
+        text = self._pending.decode("utf-8", errors="replace")
+        self._pending = b""
+        return text
+
+
+@dataclass
+class GenerationMetrics:
+    """Per-request metrics (SURVEY.md §5 observability)."""
+
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_ms: float = 0.0
+    decode_ms: float = 0.0
+    per_token_ms: List[float] = field(default_factory=list)
+
+    @property
+    def ms_per_token(self) -> float:
+        return self.decode_ms / max(self.generated_tokens, 1)
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return 1000.0 * self.generated_tokens / max(self.decode_ms, 1e-9)
+
+    def ms_per_token_percentile(self, q: float) -> float:
+        if not self.per_token_ms:
+            return 0.0
+        return float(np.percentile(self.per_token_ms, q))
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+class InferenceEngine:
+    """Single-model generation engine: owns the jitted prefill / fused
+    decode+sample steps and the donated KV cache."""
+
+    def __init__(
+        self,
+        config: GPTConfig,
+        params,
+        encoder=None,
+        batch_size: int = 1,
+        max_seq: Optional[int] = None,
+        prompt_buckets: Optional[Sequence[int]] = None,
+    ):
+        self.config = config
+        self.params = params
+        self.encoder = encoder
+        self.batch_size = batch_size
+        self.max_seq = max_seq or config.context_size
+        self.prompt_buckets = tuple(
+            b for b in (prompt_buckets or (32, 128, 512, config.context_size))
+            if b <= self.max_seq
+        ) or (self.max_seq,)
+        self._prefill = jax.jit(
+            functools.partial(gpt2.prefill, config=config), donate_argnums=(1,)
+        )
+        self.cache_dtype = jax.tree.leaves(params)[0].dtype
+
+    def new_cache(self) -> gpt2.KVCache:
+        return gpt2.init_kv_cache(
+            self.config, self.batch_size, self.max_seq, dtype=self.cache_dtype
+        )
+
+    @functools.lru_cache(maxsize=8)
+    def _sample_step(self, temperature: float, top_k: Optional[int]):
+        """Fused decode+sample step, jitted once per sampling config."""
+
+        def step(params, cache, token, key):
+            cache, logits = gpt2.decode_step(params, cache, token, self.config)
+            key, sub = jax.random.split(key)
+            return cache, sample(logits, sub, temperature, top_k), key
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    # -- streaming generation -------------------------------------------------
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        stop_tokens: Sequence[int] = (),
+        on_token: Optional[Callable[[int], None]] = None,
+        metrics: Optional[GenerationMetrics] = None,
+    ) -> List[int]:
+        """Generate from a single prompt, streaming tokens via ``on_token``.
+
+        Reference behavior (main.zig:322-342) is max_new_tokens=None: run to
+        the end of the context window with no stop handling.
+        """
+        out: List[int] = []
+        for tok in self.generate_iter(
+            prompt_ids, max_new_tokens, sampling, stop_tokens, metrics
+        ):
+            if on_token is not None:
+                on_token(tok)
+            out.append(tok)
+        return out
+
+    def generate_iter(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        stop_tokens: Sequence[int] = (),
+        metrics: Optional[GenerationMetrics] = None,
+    ) -> Iterator[int]:
+        if self.batch_size != 1:
+            raise ValueError("generate_iter is single-sequence; use ContinuousBatcher")
+        prompt_ids = list(prompt_ids)
+        if not prompt_ids:
+            raise ValueError("prompt must contain at least one token")
+        n = len(prompt_ids)
+        budget = self.max_seq - n
+        steps = budget if max_new_tokens is None else min(max_new_tokens, budget)
+        metrics = metrics if metrics is not None else GenerationMetrics()
+        metrics.prompt_tokens = n
+
+        # Padded, bucketed prefill.
+        bucket = _bucket(n, self.prompt_buckets)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :n] = prompt_ids
+        t0 = time.perf_counter()
+        cache, logits = self._prefill(
+            self.params,
+            self.new_cache(),
+            jnp.asarray(tokens),
+            jnp.asarray([n], jnp.int32),
+        )
+        key = jax.random.PRNGKey(sampling.seed)
+        key, sub = jax.random.split(key)
+        token = sample(logits, sub, sampling.temperature, sampling.top_k)
+        token.block_until_ready()
+        metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
+
+        step = self._sample_step(sampling.temperature, sampling.top_k)
+        stops = set(stop_tokens)
+        t_decode = time.perf_counter()
+        for _ in range(steps):
+            t1 = time.perf_counter()
+            tok_host = int(token[0])  # the one host sync per token (streaming)
+            if tok_host in stops:
+                break
+            cache, token, key = step(self.params, cache, token, key)
+            metrics.generated_tokens += 1
+            metrics.per_token_ms.append((time.perf_counter() - t1) * 1000.0)
+            yield tok_host
+        metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
+
+    def generate_text(
+        self,
+        prompt: str,
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        stream_to=None,
+        metrics: Optional[GenerationMetrics] = None,
+    ) -> str:
+        """Prompt string -> generated string, optionally streaming each
+        chunk to a file-like object as it is produced (the reference streams
+        to stderr, main.zig:340)."""
+        if self.encoder is None:
+            raise ValueError("engine constructed without a tokenizer")
+        ids = self.encoder.encode(prompt)
+        decoder = StreamDecoder(self.encoder)
+        pieces: List[str] = []
+
+        for tok in self.generate_iter(ids, max_new_tokens, sampling, metrics=metrics):
+            text = decoder.push(tok)
+            if text:
+                pieces.append(text)
+                if stream_to is not None:
+                    stream_to.write(text)
+                    stream_to.flush()
+        tail = decoder.flush()
+        if tail:
+            pieces.append(tail)
+            if stream_to is not None:
+                stream_to.write(tail)
+                stream_to.flush()
+        return "".join(pieces)
+
+    # -- fully-on-device generation (benchmark / batch path) ------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _scan_generate(self, n_steps: int, temperature: float, top_k: Optional[int]):
+        def run(params, cache, token, key):
+            def body(carry, _):
+                cache, token, key = carry
+                cache, logits = gpt2.decode_step(params, cache, token, self.config)
+                key, sub = jax.random.split(key)
+                token = sample(logits, sub, temperature, top_k)
+                return (cache, token, key), token
+
+            (cache, token, key), tokens = jax.lax.scan(
+                body, (cache, token, key), None, length=n_steps
+            )
+            return cache, tokens  # tokens: (n_steps, B)
+
+        return jax.jit(run, donate_argnums=(1,))
+
+    def generate_scan(
+        self,
+        prompt_ids: np.ndarray,
+        lengths: Sequence[int],
+        n_steps: int,
+        sampling: SamplingConfig = SamplingConfig(),
+    ) -> np.ndarray:
+        """Batched generation with the entire token loop on device.
+
+        Args:
+          prompt_ids: (B, T) padded prompts.  lengths: true lengths.
+        Returns (B, n_steps) generated ids.
+        """
+        cache, logits = self._prefill(
+            self.params,
+            self.new_cache(),
+            jnp.asarray(prompt_ids, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+        )
+        key = jax.random.PRNGKey(sampling.seed)
+        key, sub = jax.random.split(key)
+        token = sample(logits, sub, sampling.temperature, sampling.top_k)
+        run = self._scan_generate(n_steps, sampling.temperature, sampling.top_k)
+        _, tokens = run(self.params, cache, token, key)
+        return np.asarray(tokens).T
