@@ -1,0 +1,84 @@
+"""Decode benchmark — prints ONE JSON line.
+
+Workload: GPT-2 124M, batch=1, KV-cached temp-0.8 sampling decode — the
+reference's headline workload (README.md:2, ~28 ms/token on CPU = the
+vs_baseline denominator), run in bf16 with the whole token loop on device
+(lax.scan in InferenceEngine.generate_scan).
+
+Run on the real chip: ``python bench.py`` (do not run while another process
+holds the TPU). Extra knobs: --model, --batch, --steps, --dtype, --quant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="124M")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--quant", default=None, choices=["int8", "int4"])
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zig_gpt2_tpu.config import SamplingConfig, get_config
+    from zig_gpt2_tpu.models import gpt2
+    from zig_gpt2_tpu.runtime.engine import InferenceEngine
+
+    config = get_config(args.model)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    params = gpt2.init_params(config, jax.random.PRNGKey(0), dtype=dtype)
+    if args.quant:
+        from zig_gpt2_tpu.quant import quantize as q
+
+        params = q.quantize_params(params, mode=args.quant)
+
+    engine = InferenceEngine(
+        config, params, batch_size=args.batch,
+        max_seq=args.prompt_len + args.steps,
+        prompt_buckets=(args.prompt_len,),
+    )
+    sampling = SamplingConfig(temperature=0.8, seed=0)
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(0, config.vocab_size, (args.batch, args.prompt_len)).astype(np.int32)
+    lengths = [args.prompt_len] * args.batch
+
+    # Warmup (compiles prefill + scan loop).
+    engine.generate_scan(prompts, lengths, args.steps, sampling)
+
+    best_ms_per_token = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        out = engine.generate_scan(prompts, lengths, args.steps, sampling)
+        dt = time.perf_counter() - t0
+        best_ms_per_token = min(best_ms_per_token, dt * 1000.0 / args.steps)
+        assert out.shape == (args.batch, args.steps)
+
+    tokens_per_sec = 1000.0 / best_ms_per_token * args.batch
+    # Reference baseline: ~28 ms/token (BASELINE.md).
+    print(
+        json.dumps(
+            {
+                "metric": f"gpt2_{args.model}_{args.dtype}"
+                + (f"_{args.quant}" if args.quant else "")
+                + f"_decode_b{args.batch}_tokens_per_sec",
+                "value": round(tokens_per_sec, 2),
+                "unit": "tokens/sec",
+                "vs_baseline": round(tokens_per_sec / (1000.0 / 28.0), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

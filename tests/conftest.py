@@ -7,7 +7,6 @@ Must set env before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The container's axon sitecustomize force-registers the TPU platform and
+# rewrites jax_platforms to "axon,cpu" at interpreter start, so the env var
+# alone can't opt out — override the config after import (before any backend
+# is initialized).
+jax.config.update("jax_platforms", "cpu")
 
 # FP32 parity with the PyTorch oracle requires un-fused, highest-precision
 # matmuls (SURVEY.md §7 hard part 1).

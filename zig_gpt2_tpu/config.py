@@ -22,10 +22,27 @@ class GPTConfig:
     n_heads: int = 12
     n_embed: int = 768
     layer_norm_eps: float = 1e-5
+    # Sharding-driven padding (zig_gpt2_tpu.parallel.sharding.pad_for_tp).
+    # GPT-2 dims don't always divide the mesh: 1.5B has 25 heads and every
+    # size has vocab 50257. Padded attention heads are mathematically inert
+    # (zero c_attn columns + zero c_proj rows); padded vocab logits are
+    # masked to MASK_VALUE before sampling. None = unpadded.
+    padded_heads: Optional[int] = None
+    padded_vocab_size: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
         return self.n_embed // self.n_heads
+
+    @property
+    def attn_heads(self) -> int:
+        """Head count actually materialized in weights/cache (>= n_heads)."""
+        return self.padded_heads or self.n_heads
+
+    @property
+    def vocab_rows(self) -> int:
+        """Vocab rows actually materialized in wte (>= vocab_size)."""
+        return self.padded_vocab_size or self.vocab_size
 
     @property
     def n_params(self) -> int:

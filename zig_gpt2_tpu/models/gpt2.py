@@ -45,6 +45,7 @@ def init_params(
 ) -> Params:
     """Random GPT-2 initialization (N(0, 0.02), residual-proj scaled)."""
     E, L = config.n_embed, config.n_layers
+    A = config.attn_heads * config.head_dim  # attention width (== E unpadded)
     keys = iter(jax.random.split(key, 16))
 
     def normal(k, shape, std=0.02):
@@ -53,17 +54,31 @@ def init_params(
     # Residual projections scaled by 1/sqrt(2*n_layers) (GPT-2 init).
     proj_std = 0.02 / (2.0 * L) ** 0.5
     params: Params = {
-        "wte": normal(next(keys), (config.vocab_size, E)),
+        "wte": normal(next(keys), (config.vocab_rows, E)),
         "wpe": normal(next(keys), (config.context_size, E), std=0.01),
         "blocks": {
             "ln_1": {"w": jnp.ones((L, E), dtype), "b": jnp.zeros((L, E), dtype)},
+            # Q/K/V are separate projections (the reference packs them into
+            # one c_attn GEMM, ops.zig:143; unpacked here because the packed
+            # 3A axis cannot be head-sharded with a single PartitionSpec —
+            # Q/K/V boundaries at A, 2A don't align with shard boundaries at
+            # multiples of 3A/tp. The raw-checkpoint importer splits the
+            # reference's packed layout; the exporter repacks it.)
             "attn": {
-                "c_attn": {
-                    "w": normal(next(keys), (L, E, 3 * E)),
-                    "b": jnp.zeros((L, 3 * E), dtype),
+                "wq": {
+                    "w": normal(next(keys), (L, E, A)),
+                    "b": jnp.zeros((L, A), dtype),
+                },
+                "wk": {
+                    "w": normal(next(keys), (L, E, A)),
+                    "b": jnp.zeros((L, A), dtype),
+                },
+                "wv": {
+                    "w": normal(next(keys), (L, E, A)),
+                    "b": jnp.zeros((L, A), dtype),
                 },
                 "c_proj": {
-                    "w": normal(next(keys), (L, E, E), std=proj_std),
+                    "w": normal(next(keys), (L, A, E), std=proj_std),
                     "b": jnp.zeros((L, E), dtype),
                 },
             },
@@ -93,7 +108,7 @@ def init_kv_cache(
     """Preallocate the full fixed-shape KV cache (reference: main.zig:298-299
     allocates context_size×n_embed per block up front)."""
     max_seq = max_seq or config.context_size
-    shape = (config.n_layers, batch_size, config.n_heads, max_seq, config.head_dim)
+    shape = (config.n_layers, batch_size, config.attn_heads, max_seq, config.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -115,15 +130,23 @@ def _linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return ops.linear(x, p["w"], p.get("b"))
 
 
-def _split_heads(qkv: jax.Array, n_heads: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(..., 3E) -> three (..., H, D) tensors (reference: split_qkv,
-    ops.zig:179-199)."""
-    *lead, three_e = qkv.shape
-    e = three_e // 3
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+def _qkv(
+    attn_p: Params, h: jax.Array, n_heads: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Project to per-head Q/K/V: (..., E) -> three (..., H, D).
+
+    (Replaces the reference's packed c_attn GEMM + split_qkv copy,
+    ops.zig:143-147/179-199 — the head split here is a free reshape because
+    each projection is already head-major.)
+    """
     def heads(t):
-        return t.reshape(*lead, n_heads, e // n_heads)
-    return heads(q), heads(k), heads(v)
+        return t.reshape(*t.shape[:-1], n_heads, t.shape[-1] // n_heads)
+
+    return (
+        heads(_linear(attn_p["wq"], h)),
+        heads(_linear(attn_p["wk"], h)),
+        heads(_linear(attn_p["wv"], h)),
+    )
 
 
 def _block_prefill(
@@ -138,12 +161,12 @@ def _block_prefill(
     Reference block semantics: main.zig:119-146 (ln_1 → attn → residual →
     ln_2 → mlp → residual).
     """
+    B, T, _ = x.shape
     h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
-    qkv = _linear(bp["attn"]["c_attn"], h)
-    q, k, v = _split_heads(qkv, config.n_heads)  # (B, T, H, D)
+    q, k, v = _qkv(bp["attn"], h, config.attn_heads)  # (B, T, H, D)
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
     attn = ops.causal_attention(q, k, v, length_mask=length_mask)
-    attn = attn.swapaxes(1, 2).reshape(x.shape)
+    attn = attn.swapaxes(1, 2).reshape(B, T, -1)
     x = x + _linear(bp["attn"]["c_proj"], attn)
     h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
     h = _linear(bp["mlp"]["c_fc"], h)
@@ -170,8 +193,7 @@ def _block_decode(
     Returns (x, k_cache, v_cache) with the new K/V row written at ``pos``.
     """
     h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
-    qkv = _linear(bp["attn"]["c_attn"], h)
-    q, k, v = _split_heads(qkv, config.n_heads)  # (B, H, D)
+    q, k, v = _qkv(bp["attn"], h, config.attn_heads)  # (B, H, D)
 
     # Append this token's K/V at row `pos` (per batch element). Replaces the
     # reference's append + full-cache transpose (ops.zig:151-158) with an
@@ -185,7 +207,7 @@ def _block_decode(
     v_cache = jax.vmap(put_row)(v_cache, v, pos)
 
     attn = ops.decode_attention(q, k_cache, v_cache, pos + 1)
-    attn = attn.reshape(x.shape)
+    attn = attn.reshape(x.shape[0], -1)
     x = x + _linear(bp["attn"]["c_proj"], attn)
     h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
     h = _linear(bp["mlp"]["c_fc"], h)
@@ -194,12 +216,22 @@ def _block_decode(
     return x, k_cache, v_cache
 
 
-def _lm_head(params: Params, x: jax.Array) -> jax.Array:
-    """Tied lm_head: logits = x @ wte^T, no bias (main.zig:312)."""
-    wte = params["wte"]
+def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
+    """Tied lm_head: logits = x @ wte^T, no bias (main.zig:312). When the
+    vocab is padded for sharding, the padded tail is masked so sampling can
+    never pick a phantom token."""
     if "lm_head" in params:  # untied / quantized override
-        return _linear(params["lm_head"], x)
-    return jnp.dot(x, wte.T, preferred_element_type=x.dtype)
+        logits = _linear(params["lm_head"], x)
+    else:
+        logits = jnp.dot(x, params["wte"].T, preferred_element_type=x.dtype)
+    if config.padded_vocab_size is not None:
+        vocab_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (1, config.vocab_rows), 1
+        ).reshape(config.vocab_rows)
+        logits = jnp.where(
+            vocab_ids < config.vocab_size, logits, jnp.asarray(ops.MASK_VALUE, logits.dtype)
+        )
+    return logits
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +254,7 @@ def forward(params: Params, tokens: jax.Array, config: GPTConfig) -> jax.Array:
 
     x, _ = jax.lax.scan(step, x, params["blocks"])
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
-    return _lm_head(params, x)
+    return _lm_head(params, x, config)
 
 
 def prefill(
@@ -266,7 +298,7 @@ def prefill(
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     # Gather each sequence's last valid hidden state, then one lm_head GEMM.
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
-    logits = _lm_head(params, last)
+    logits = _lm_head(params, last, config)
     new_cache = {"k": k_new, "v": v_new, "length": lengths}
     return new_cache, logits
 
@@ -294,7 +326,7 @@ def decode_step(
         step, x, (params["blocks"], cache["k"], cache["v"])
     )
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
-    logits = _lm_head(params, x)
+    logits = _lm_head(params, x, config)
     new_cache = {"k": k_new, "v": v_new, "length": pos + 1}
     return new_cache, logits
 

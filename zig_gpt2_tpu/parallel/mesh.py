@@ -1,0 +1,88 @@
+"""Device mesh and sharding construction.
+
+The reference is strictly single-threaded/single-device (SURVEY.md §2.3-2.4:
+no parallelism, no communication backend anywhere). The TPU framework scales
+via GSPMD: a named 2-D mesh ``("data", "model")``, NamedSharding annotations
+on parameters / KV cache / token streams, and ``jax.jit`` letting XLA insert
+ICI collectives (psum after the row-parallel projections, all-gathers around
+the embedding) — the SURVEY §2.4 design.
+
+Sharding layout (Megatron-style tensor parallelism):
+
+- attention: wq/wk/wv column-parallel on the head axis, c_proj row-parallel;
+  the KV cache is head-sharded (Ulysses-style decode — each chip holds
+  H/tp heads' cache; no communication during attention itself).
+- MLP: c_fc column-parallel, c_proj row-parallel → one psum per pair.
+- wte: vocab-sharded (column-parallel tied lm_head); wpe/LayerNorms replicated.
+- batch ("data" axis): DP for batched/continuous-batching serving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from zig_gpt2_tpu.config import GPTConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults: all devices on the model axis."""
+    devices = devices if devices is not None else jax.devices()
+    if tp is None:
+        tp = len(devices) // dp
+    if dp * tp != len(devices):
+        raise ValueError(f"mesh {dp}x{tp} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def param_pspecs(config: GPTConfig) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models.gpt2 params (leading L axis on
+    block leaves)."""
+    col = {"w": P(None, None, MODEL_AXIS), "b": P(None, MODEL_AXIS)}  # column-parallel
+    row = {"w": P(None, MODEL_AXIS, None), "b": P(None, None)}  # row-parallel
+    ln = {"w": P(None, None), "b": P(None, None)}
+    return {
+        "wte": P(MODEL_AXIS, None),  # vocab-sharded; lm_head column-parallel
+        "wpe": P(None, None),
+        "blocks": {
+            "ln_1": ln,
+            "attn": {"wq": col, "wk": col, "wv": col, "c_proj": row},
+            "ln_2": ln,
+            "mlp": {"c_fc": col, "c_proj": row},
+        },
+        "ln_f": {"w": P(None), "b": P(None)},
+    }
+
+
+def cache_pspecs(config: GPTConfig) -> Dict[str, Any]:
+    """KV cache (L, B, H, S, D): batch on data, heads on model."""
+    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    return {"k": kv, "v": kv, "length": P(DATA_AXIS)}
+
+
+def _named(mesh: Mesh, pspecs):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def param_shardings(mesh: Mesh, config: GPTConfig) -> Dict[str, Any]:
+    return _named(mesh, param_pspecs(config))
+
+
+def cache_shardings(mesh: Mesh, config: GPTConfig) -> Dict[str, Any]:
+    return _named(mesh, cache_pspecs(config))
+
+
+def shard_params(params, mesh: Mesh, config: GPTConfig):
+    """Place a (host or single-device) param pytree onto the mesh."""
+    return jax.device_put(params, param_shardings(mesh, config))

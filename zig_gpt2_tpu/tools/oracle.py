@@ -55,10 +55,11 @@ def block_forward(x: torch.Tensor, bp: Dict[str, Any], i: int, config: GPTConfig
         return F.layer_norm(h, (config.n_embed,), _t(p["w"][i]), _t(p["b"][i]), eps=config.layer_norm_eps)
 
     B, T, E = x.shape
-    H, D = config.n_heads, config.head_dim
+    H, D = config.attn_heads, config.head_dim
     h = ln(bp["ln_1"], x)
-    qkv = lin(bp["attn"]["c_attn"], h)
-    q, k, v = qkv.split(E, dim=-1)
+    q = lin(bp["attn"]["wq"], h)
+    k = lin(bp["attn"]["wk"], h)
+    v = lin(bp["attn"]["wv"], h)
     q, k, v = (t.view(B, T, H, D).transpose(1, 2) for t in (q, k, v))
     a = attention(q, k, v).transpose(1, 2).reshape(B, T, E)
     x = x + lin(bp["attn"]["c_proj"], a)

@@ -92,12 +92,24 @@ def load_gpt2_raw(
     def stack(fn):
         return np.stack([fn(i) for i in range(L)])
 
+    def split_qkv(i):
+        """The raw format packs QKV in one c_attn tensor (reference
+        ops.zig:143); the model keeps separate head-shardable projections."""
+        packed = _linear_from_raw(d, f"h{i}-attn-c_attn", E, 3 * E, dtype)
+        w, b = packed["w"], packed["b"]  # (E, 3E), (3E,)
+        return {
+            name: {"w": np.ascontiguousarray(w[:, j * E : (j + 1) * E]),
+                   "b": np.ascontiguousarray(b[j * E : (j + 1) * E])}
+            for j, name in enumerate(("wq", "wk", "wv"))
+        }
+
+    qkv_split = [split_qkv(i) for i in range(L)]
     blocks = {
         "ln_1": _stack_tree([_ln_from_raw(d, f"h{i}-ln_1", E, dtype) for i in range(L)]),
         "attn": {
-            "c_attn": _stack_tree(
-                [_linear_from_raw(d, f"h{i}-attn-c_attn", E, 3 * E, dtype) for i in range(L)]
-            ),
+            "wq": _stack_tree([s["wq"] for s in qkv_split]),
+            "wk": _stack_tree([s["wk"] for s in qkv_split]),
+            "wv": _stack_tree([s["wv"] for s in qkv_split]),
             "c_proj": _stack_tree(
                 [_linear_from_raw(d, f"h{i}-attn-c_proj", E, E, dtype) for i in range(L)]
             ),
@@ -149,7 +161,13 @@ def save_gpt2_raw(params: Dict[str, Any], raw_dir: str | Path, config: GPTConfig
     save_tensor(d / "model-wpe", p["wpe"])
     for i in range(config.n_layers):
         save_ln(f"h{i}-ln_1", p["blocks"]["ln_1"], i)
-        save_linear(f"h{i}-attn-c_attn", p["blocks"]["attn"]["c_attn"], i)
+        # Repack separate Q/K/V back into the reference's c_attn layout.
+        a = p["blocks"]["attn"]
+        packed = {
+            "w": np.concatenate([a["wq"]["w"], a["wk"]["w"], a["wv"]["w"]], axis=-1),
+            "b": np.concatenate([a["wq"]["b"], a["wk"]["b"], a["wv"]["b"]], axis=-1),
+        }
+        save_linear(f"h{i}-attn-c_attn", packed, i)
         save_linear(f"h{i}-attn-c_proj", p["blocks"]["attn"]["c_proj"], i)
         save_ln(f"h{i}-ln_2", p["blocks"]["ln_2"], i)
         save_linear(f"h{i}-mlp-c_fc", p["blocks"]["mlp"]["c_fc"], i)
