@@ -24,6 +24,7 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--quant", default=None, choices=["int8", "int4"])
+    p.add_argument("--kv-quant", default=None, choices=["int8"])
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
@@ -47,6 +48,7 @@ def main() -> None:
         config, params, batch_size=args.batch,
         max_seq=args.prompt_len + args.steps,
         prompt_buckets=(args.prompt_len,),
+        kv_quant=args.kv_quant,
     )
     sampling = SamplingConfig(temperature=0.8, seed=0)
     rng = np.random.default_rng(0)
@@ -71,6 +73,7 @@ def main() -> None:
             {
                 "metric": f"gpt2_{args.model}_{args.dtype}"
                 + (f"_{args.quant}" if args.quant else "")
+                + (f"_kv{args.kv_quant}" if args.kv_quant else "")
                 + f"_decode_b{args.batch}_tokens_per_sec",
                 "value": round(tokens_per_sec, 2),
                 "unit": "tokens/sec",

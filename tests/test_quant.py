@@ -1,0 +1,186 @@
+"""Quantization tests: scheme round-trip, fused-matmul parity (jnp + Pallas
+interpret mode), INT8 KV-cache attention, and quantized end-to-end decode.
+
+The reference has no quantization; the oracle here is the framework's own
+FP32 path (the PPL gates vs FP32 are checked by the eval harness; these tests
+pin the *mechanics* — packing, scales, kernel math — exactly).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_gpt2_tpu.config import GPT2_NANO, GPTConfig
+from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.ops import layers as ops
+from zig_gpt2_tpu.quant import kernels, quantize as q
+
+
+def _rand_w(rng, k, n):
+    return jnp.asarray(rng.standard_normal((k, n), dtype=np.float32)) * 0.05
+
+
+class TestScheme:
+    def test_int8_roundtrip_error(self, rng):
+        w = _rand_w(rng, 256, 128)
+        qp = q.quantize_linear({"w": w, "b": None}, "int8")
+        wd = q.dequantize_linear(qp)["w"]
+        # Symmetric absmax INT8: error bounded by scale/2 per element.
+        groups = qp["scale"].shape[-2]
+        scale_full = jnp.repeat(qp["scale"], 256 // groups, axis=0)
+        assert jnp.max(jnp.abs(wd - w) / scale_full) <= 0.5 + 1e-6
+
+    def test_int4_pack_unpack_exact(self, rng):
+        w = _rand_w(rng, 256, 128)
+        qp = q.quantize_linear({"w": w, "b": None}, "int4")
+        assert qp["qw4"].shape == (128, 128) and qp["qw4"].dtype == jnp.int8
+        unpacked = q.unpack_int4(qp["qw4"])
+        assert unpacked.shape == (256, 128)
+        assert int(jnp.max(unpacked)) <= 7 and int(jnp.min(unpacked)) >= -7
+        # Re-pack must reproduce the packed bytes exactly.
+        lo, hi = jnp.split(unpacked, 2, axis=-2)
+        repacked = ((hi << 4) | (lo & 0x0F)).astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(repacked), np.asarray(qp["qw4"]))
+
+    def test_group_size_selection(self):
+        assert q.pick_group_size(768, "int8") == 128
+        assert q.pick_group_size(1600, "int8") == 64
+        assert q.pick_group_size(1600, "int4") == 32  # K/2=800 needs 32
+        assert q.pick_group_size(6400, "int4") == 128  # 3200 % 128 == 0
+
+    def test_zero_column_padding_safe(self, rng):
+        """TP head padding produces all-zero weight columns — scales must
+        stay finite and the quantized column must stay exactly zero."""
+        w = _rand_w(rng, 128, 64).at[:, -16:].set(0.0)
+        qp = q.quantize_linear({"w": w, "b": None}, "int8")
+        assert bool(jnp.isfinite(qp["scale"]).all())
+        wd = q.dequantize_linear(qp)["w"]
+        np.testing.assert_array_equal(np.asarray(wd[:, -16:]), 0.0)
+
+    def test_leading_layer_axis(self, rng):
+        """Block weights carry a leading L axis through quantization."""
+        w = jnp.asarray(rng.standard_normal((3, 128, 64), dtype=np.float32))
+        qp = q.quantize_linear({"w": w, "b": None}, "int4")
+        assert qp["qw4"].shape == (3, 64, 64)
+        assert qp["scale"].shape[0] == 3
+        wd = q.dequantize_linear(qp)["w"]
+        assert wd.shape == w.shape
+
+
+class TestMatmulParity:
+    @pytest.mark.parametrize("mode", ["int8", "int4"])
+    def test_quantized_linear_matches_dequant(self, rng, mode):
+        """quantized_linear (grouped partial dots, f32 scales on partials)
+        must equal dequantize-then-matmul to float32 roundoff."""
+        w = _rand_w(rng, 256, 192)
+        b = jnp.asarray(rng.standard_normal(192, dtype=np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 256), dtype=np.float32))
+        qp = q.quantize_linear({"w": w, "b": b}, mode)
+        got = q.quantized_linear(qp, x)
+        want = ops.linear(x, q.dequantize_linear(qp)["w"], b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("mode", ["int8", "int4"])
+    @pytest.mark.parametrize("n", [256, 150])  # 150: N % block_n != 0
+    def test_pallas_kernel_interpret(self, rng, mode, n):
+        """The Pallas qmm kernel (interpret mode on CPU) must match the jnp
+        grouped matmul bit-for-bit — same op order, same precision."""
+        w = _rand_w(rng, 256, n)
+        x = jnp.asarray(rng.standard_normal((8, 256), dtype=np.float32))
+        qp = q.quantize_linear({"w": w, "b": None}, mode)
+        packed = qp.get("qw", qp.get("qw4"))
+        got = kernels.qmm(
+            x, packed, qp["scale"], int4=(mode == "int4"),
+            block_n=128, interpret=True,
+        )
+        qfull = q.unpack_int4(qp["qw4"]) if mode == "int4" else qp["qw"]
+        want = q._grouped_matmul_jnp(x, qfull, qp["scale"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def test_large_batch_path(self, rng):
+        """rows > 64 takes the dequant+GEMM path; still matches."""
+        w = _rand_w(rng, 128, 64)
+        x = jnp.asarray(rng.standard_normal((100, 128), dtype=np.float32))
+        qp = q.quantize_linear({"w": w, "b": None}, "int8")
+        got = q.quantized_linear(qp, x)
+        want = x @ q.dequantize_linear(qp)["w"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+class TestKVCacheInt8:
+    def test_quantize_kv_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4, 32), dtype=np.float32))
+        qv, scale = ops.quantize_kv(x)
+        assert qv.dtype == jnp.int8 and scale.shape == (2, 4)
+        err = jnp.abs(qv.astype(jnp.float32) * scale[..., None] - x)
+        assert float(jnp.max(err / scale[..., None])) <= 0.5 + 1e-6
+
+    def test_decode_attention_quant_close_to_fp(self, rng):
+        B, H, S, D = 2, 4, 16, 32
+        qh = jnp.asarray(rng.standard_normal((B, H, D), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((B, H, S, D), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((B, H, S, D), dtype=np.float32))
+        length = jnp.asarray([9, 16], jnp.int32)
+        want = ops.decode_attention(qh, k, v, length)
+        kq, ks = ops.quantize_kv(k)
+        vq, vs = ops.quantize_kv(v)
+        got = ops.decode_attention_quant(qh, kq, ks, vq, vs, length)
+        # INT8 KV error ~0.4% relative; bf16 operand dots add a little more.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0.05, atol=0.02)
+
+    def test_masked_rows_ignored(self, rng):
+        """Garbage (never-written) cache rows beyond `length` must not
+        affect the output — the length mask, not the stored zeros, is load-
+        bearing."""
+        B, H, S, D = 1, 2, 8, 16
+        qh = jnp.asarray(rng.standard_normal((B, H, D), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((B, H, S, D), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((B, H, S, D), dtype=np.float32))
+        kq, ks = ops.quantize_kv(k)
+        vq, vs = ops.quantize_kv(v)
+        length = jnp.asarray([5], jnp.int32)
+        base = ops.decode_attention_quant(qh, kq, ks, vq, vs, length)
+        kq2 = kq.at[:, :, 5:].set(127)
+        ks2 = ks.at[:, :, 5:].set(1e9)
+        got = ops.decode_attention_quant(qh, kq2, ks2, vq, vs, length)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-6)
+
+
+class TestEndToEnd:
+    @pytest.mark.parametrize("mode", ["int8", "int4"])
+    def test_quantized_model_decodes(self, rng, mode):
+        """Quantized params + INT8 KV cache run prefill + decode and produce
+        logits close (argmax-stable on a peaked distribution) to FP32."""
+        config = GPT2_NANO
+        params = gpt2.init_params(config, jax.random.PRNGKey(0))
+        qparams = q.quantize_params(params, mode=mode)
+        tokens = jnp.asarray(rng.integers(0, config.vocab_size, (2, 12)), jnp.int32)
+        lengths = jnp.asarray([12, 7], jnp.int32)
+
+        cache = gpt2.init_kv_cache(config, 2, 32)
+        cache_fp, logits_fp = gpt2.prefill(params, cache, tokens, lengths, config)
+
+        qcache = gpt2.init_kv_cache(config, 2, 32, quant="int8")
+        qcache, logits_q = gpt2.prefill(qparams, qcache, tokens, lengths, config)
+        assert qcache["k"].dtype == jnp.int8
+        # Correlation between FP32 and quantized logits should be very high.
+        a = np.asarray(logits_fp, np.float64)
+        b = np.asarray(logits_q, np.float64)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > (0.995 if mode == "int8" else 0.95), corr
+
+        # A full decode step must run and stay finite.
+        next_tok = jnp.argmax(logits_q, -1).astype(jnp.int32)
+        qcache, logits2 = gpt2.decode_step(qparams, qcache, next_tok, config)
+        assert np.isfinite(np.asarray(logits2, np.float32)).all()
+        np.testing.assert_array_equal(np.asarray(qcache["length"]), [13, 8])
+
+    def test_quantize_params_structure(self):
+        config = GPTConfig(vocab_size=256, context_size=32, n_layers=2, n_heads=2, n_embed=64)
+        params = gpt2.init_params(config, jax.random.PRNGKey(1))
+        qp = q.quantize_params(params, mode="int4")
+        assert "qw4" in qp["blocks"]["mlp"]["c_fc"]
+        assert "qw" in qp["lm_head"]  # lm_head stays INT8 at INT4 mode
+        assert qp["blocks"]["ln_1"] is params["blocks"]["ln_1"]  # LN untouched
+        assert qp["wte"] is params["wte"]  # embedding gather stays float

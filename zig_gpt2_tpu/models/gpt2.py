@@ -104,11 +104,28 @@ def init_kv_cache(
     batch_size: int = 1,
     max_seq: Optional[int] = None,
     dtype: jnp.dtype = jnp.float32,
+    quant: Optional[str] = None,
 ) -> KVCache:
     """Preallocate the full fixed-shape KV cache (reference: main.zig:298-299
-    allocates context_size×n_embed per block up front)."""
+    allocates context_size×n_embed per block up front).
+
+    quant="int8" stores K/V rows as int8 with per-(token, head) f32 scales
+    (quantize-on-append; dequant folded into the attention math — see
+    ops.layers.decode_attention_quant). Memory: D bytes/row + 4 scale bytes
+    vs 2·D bf16 — ~2x more sequences per HBM.
+    """
     max_seq = max_seq or config.context_size
     shape = (config.n_layers, batch_size, config.attn_heads, max_seq, config.head_dim)
+    if quant == "int8":
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "length": jnp.zeros((batch_size,), jnp.int32),
+        }
+    if quant is not None:
+        raise ValueError(f"unknown KV quantization {quant!r}")
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -123,7 +140,7 @@ def init_kv_cache(
 def _linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     """Apply a linear layer's param dict; dispatches to the fused
     dequant+matmul path when the weight is quantized."""
-    if "qw" in p:
+    if "qw" in p or "qw4" in p:
         from zig_gpt2_tpu.quant import quantize as q
 
         return q.quantized_linear(p, x)
@@ -175,22 +192,36 @@ def _block_prefill(
     return x, k, v
 
 
+def _put_row(cache_b: jax.Array, row_b: jax.Array, pos_b: jax.Array) -> jax.Array:
+    """Write one (H, D) row into a (H, S, D) cache at position pos_b."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        cache_b, row_b[:, None, :].astype(cache_b.dtype), pos_b, axis=1
+    )
+
+
+def _put_scale(scale_b: jax.Array, s_b: jax.Array, pos_b: jax.Array) -> jax.Array:
+    """Write one (H,) scale into a (H, S) scale plane at position pos_b."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        scale_b, s_b[:, None].astype(scale_b.dtype), pos_b, axis=1
+    )
+
+
 def _block_decode(
     x: jax.Array,
     bp: Params,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    lc: Dict[str, jax.Array],
     pos: jax.Array,
     config: GPTConfig,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One transformer block for a single decode token.
 
     Args:
       x: (B, E) current hidden state.
-      k_cache/v_cache: (B, H, max_seq, D) this layer's cache.
+      lc: this layer's cache — {"k","v": (B, H, max_seq, D)} plus
+        {"k_scale","v_scale": (B, H, max_seq)} when the cache is INT8.
       pos: (B,) int32 — index of the current token (== #cached tokens).
 
-    Returns (x, k_cache, v_cache) with the new K/V row written at ``pos``.
+    Returns (x, lc) with the new K/V row written at ``pos``.
     """
     h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
     q, k, v = _qkv(bp["attn"], h, config.attn_heads)  # (B, H, D)
@@ -198,22 +229,28 @@ def _block_decode(
     # Append this token's K/V at row `pos` (per batch element). Replaces the
     # reference's append + full-cache transpose (ops.zig:151-158) with an
     # in-place dynamic update in the already-(H, S, D) layout.
-    def put_row(cache_b, row_b, pos_b):
-        return jax.lax.dynamic_update_slice_in_dim(
-            cache_b, row_b[:, None, :].astype(cache_b.dtype), pos_b, axis=1
+    lc = dict(lc)
+    if "k_scale" in lc:  # INT8 cache: quantize on append
+        kq, ks = ops.quantize_kv(k)
+        vq, vs = ops.quantize_kv(v)
+        lc["k"] = jax.vmap(_put_row)(lc["k"], kq, pos)
+        lc["v"] = jax.vmap(_put_row)(lc["v"], vq, pos)
+        lc["k_scale"] = jax.vmap(_put_scale)(lc["k_scale"], ks, pos)
+        lc["v_scale"] = jax.vmap(_put_scale)(lc["v_scale"], vs, pos)
+        attn = ops.decode_attention_quant(
+            q, lc["k"], lc["k_scale"], lc["v"], lc["v_scale"], pos + 1
         )
-
-    k_cache = jax.vmap(put_row)(k_cache, k, pos)
-    v_cache = jax.vmap(put_row)(v_cache, v, pos)
-
-    attn = ops.decode_attention(q, k_cache, v_cache, pos + 1)
+    else:
+        lc["k"] = jax.vmap(_put_row)(lc["k"], k, pos)
+        lc["v"] = jax.vmap(_put_row)(lc["v"], v, pos)
+        attn = ops.decode_attention(q, lc["k"], lc["v"], pos + 1)
     attn = attn.reshape(x.shape[0], -1)
     x = x + _linear(bp["attn"]["c_proj"], attn)
     h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
     h = _linear(bp["mlp"]["c_fc"], h)
     h = ops.gelu(h)
     x = x + _linear(bp["mlp"]["c_proj"], h)
-    return x, k_cache, v_cache
+    return x, lc
 
 
 def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
@@ -280,26 +317,38 @@ def prefill(
     x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
     length_mask = pos[None, :] < lengths[:, None]  # (B, T)
 
-    def step(x, xs):
-        bp, k_cache, v_cache = xs
-        x, k, v = _block_prefill(x, bp, config, length_mask=length_mask)
-        # Write the first T rows of the cache in place.
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k.astype(k_cache.dtype), 0, axis=2
-        )
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v.astype(v_cache.dtype), 0, axis=2
-        )
-        return x, (k_cache, v_cache)
+    layer_caches = {name: c for name, c in cache.items() if name != "length"}
 
-    x, (k_new, v_new) = jax.lax.scan(
-        step, x, (params["blocks"], cache["k"], cache["v"])
-    )
+    def step(x, xs):
+        bp, lc = xs
+        x, k, v = _block_prefill(x, bp, config, length_mask=length_mask)
+        lc = dict(lc)
+
+        def put(cache, rows):  # write the first T rows in place
+            return jax.lax.dynamic_update_slice_in_dim(
+                cache, rows.astype(cache.dtype), 0, axis=cache.ndim - 2
+            )
+
+        if "k_scale" in lc:  # INT8 cache: quantize on append
+            kq, ks = ops.quantize_kv(k)
+            vq, vs = ops.quantize_kv(v)
+            lc["k"], lc["v"] = put(lc["k"], kq), put(lc["v"], vq)
+            lc["k_scale"] = jax.lax.dynamic_update_slice_in_dim(
+                lc["k_scale"], ks, 0, axis=2
+            )
+            lc["v_scale"] = jax.lax.dynamic_update_slice_in_dim(
+                lc["v_scale"], vs, 0, axis=2
+            )
+        else:
+            lc["k"], lc["v"] = put(lc["k"], k), put(lc["v"], v)
+        return x, lc
+
+    x, new_layer_caches = jax.lax.scan(step, x, (params["blocks"], layer_caches))
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     # Gather each sequence's last valid hidden state, then one lm_head GEMM.
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
     logits = _lm_head(params, last, config)
-    new_cache = {"k": k_new, "v": v_new, "length": lengths}
+    new_cache = dict(new_layer_caches, length=lengths)
     return new_cache, logits
 
 
@@ -316,18 +365,17 @@ def decode_step(
     """
     pos = cache["length"]  # (B,) index of the incoming token
     x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
+    layer_caches = {name: c for name, c in cache.items() if name != "length"}
 
     def step(x, xs):
-        bp, k_cache, v_cache = xs
-        x, k_cache, v_cache = _block_decode(x, bp, k_cache, v_cache, pos, config)
-        return x, (k_cache, v_cache)
+        bp, lc = xs
+        x, lc = _block_decode(x, bp, lc, pos, config)
+        return x, lc
 
-    x, (k_new, v_new) = jax.lax.scan(
-        step, x, (params["blocks"], cache["k"], cache["v"])
-    )
+    x, new_layer_caches = jax.lax.scan(step, x, (params["blocks"], layer_caches))
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     logits = _lm_head(params, x, config)
-    new_cache = {"k": k_new, "v": v_new, "length": pos + 1}
+    new_cache = dict(new_layer_caches, length=pos + 1)
     return new_cache, logits
 
 

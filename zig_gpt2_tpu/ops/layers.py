@@ -141,6 +141,63 @@ def causal_attention(
     ).astype(q.dtype)
 
 
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (per token, per head) symmetric INT8 quantization of K/V.
+
+    x: (..., D) float -> (int8 (..., D), f32 scale (...,)). Row-granular
+    scales make the append step O(1) (no running stats) and dequantization
+    free inside attention: the K scale multiplies the score and the V scale
+    folds into the probability (see decode_attention_quant).
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def decode_attention_quant(
+    q: jax.Array,
+    k_cache: jax.Array,
+    k_scale: jax.Array,
+    v_cache: jax.Array,
+    v_scale: jax.Array,
+    length: jax.Array,
+) -> jax.Array:
+    """decode_attention over an INT8 KV cache — dequantization is folded
+    into the attention math, never materialized:
+
+      score[s] = (q · k_int8[s]) · k_scale[s] / sqrt(D)
+      out      = Σ_s (p[s] · v_scale[s]) · v_int8[s]
+
+    Args:
+      q: (B, H, D) float.  k_cache/v_cache: (B, H, S, D) int8.
+      k_scale/v_scale: (B, H, S) f32 per-row scales.
+      length: (B,) or scalar int32 valid rows.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    kf = k_cache.astype(jnp.bfloat16)  # int8 is exact in bf16
+    scores = jnp.einsum(
+        "bhd,bhsd->bhs", q.astype(jnp.bfloat16), kf,
+        preferred_element_type=jnp.float32,
+    ) * (k_scale * scale)
+    max_seq = k_cache.shape[-2]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (max_seq, 1), 0).squeeze(-1)
+    length = jnp.asarray(length)
+    if length.ndim == 0:
+        valid = (pos < length)[None, None, :]
+    else:
+        valid = (pos[None, :] < length[:, None])[:, None, :]
+    scores = jnp.where(valid, scores, MASK_VALUE)
+    probs = softmax(scores, axis=-1)  # f32
+    pv = (probs * v_scale).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "bhs,bhsd->bhd", pv, v_cache.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,

@@ -107,6 +107,8 @@ class InferenceEngine:
         batch_size: int = 1,
         max_seq: Optional[int] = None,
         prompt_buckets: Optional[Sequence[int]] = None,
+        kv_quant: Optional[str] = None,
+        cache_dtype: Optional[jnp.dtype] = None,
     ):
         self.config = config
         self.params = params
@@ -120,11 +122,17 @@ class InferenceEngine:
         self._prefill = jax.jit(
             functools.partial(gpt2.prefill, config=config), donate_argnums=(1,)
         )
-        self.cache_dtype = jax.tree.leaves(params)[0].dtype
+        self.kv_quant = kv_quant
+        # wte is always a float leaf even when the linears are quantized.
+        self.cache_dtype = cache_dtype or params["wte"].dtype
 
     def new_cache(self) -> gpt2.KVCache:
         return gpt2.init_kv_cache(
-            self.config, self.batch_size, self.max_seq, dtype=self.cache_dtype
+            self.config,
+            self.batch_size,
+            self.max_seq,
+            dtype=self.cache_dtype,
+            quant=self.kv_quant,
         )
 
     @functools.lru_cache(maxsize=8)
