@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR", help="write an XProf trace to DIR")
     p.add_argument("--metrics", action="store_true", help="print timing metrics to stderr")
     p.add_argument("--demo", action="store_true", help="random tiny model + on-the-fly tokenizer (no weights needed)")
+    p.add_argument("--batch-file", default=None, metavar="FILE",
+                   help="serve a file of prompts (one per line) through the "
+                        "continuous-batching scheduler instead of a single prompt")
+    p.add_argument("--batch-slots", type=int, default=8,
+                   help="decode slots for --batch-file serving")
     return p
 
 
@@ -60,7 +65,7 @@ def _load_encoder(args):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.prompt is None:
+    if args.prompt is None and args.batch_file is None:
         sys.exit("error: missing prompt (usage: zig-gpt2-tpu \"<prompt>\")")
 
     import jax
@@ -80,7 +85,7 @@ def main(argv=None) -> None:
         demo_text = (
             "the quick brown fox jumps over the lazy dog. "
             "hello world, streaming tokens from a tiny random model. "
-        ) * 4 + args.prompt
+        ) * 4 + (args.prompt or "")
         vocab, merges = train_bpe(demo_text, vocab_size=320)
         encoder = Encoder(vocab, merges)
         config = GPTConfig(vocab_size=len(vocab), context_size=256,
@@ -106,8 +111,34 @@ def main(argv=None) -> None:
 
             params = q.quantize_params(params, mode=args.quant)
 
-    engine = InferenceEngine(config, params, encoder, max_seq=args.max_seq)
+    kv_quant = "int8" if args.kv_quant else None
     sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k, seed=args.seed)
+
+    if args.batch_file is not None:
+        from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
+
+        prompts = [
+            line for line in Path(args.batch_file).read_text().splitlines() if line
+        ]
+        batcher = ContinuousBatcher(
+            config, params, batch_size=args.batch_slots,
+            max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,
+        )
+        rid_to_prompt = {
+            batcher.submit(encoder.encode(p), args.max_tokens): p for p in prompts
+        }
+        with xprof_trace(args.profile):
+            done = batcher.run()
+        for req in done:
+            print(json.dumps({
+                "prompt": rid_to_prompt[req.rid],
+                "completion": encoder.decode(req.generated),
+            }))
+        return
+
+    engine = InferenceEngine(
+        config, params, encoder, max_seq=args.max_seq, kv_quant=kv_quant
+    )
     metrics = GenerationMetrics()
 
     print(args.prompt, end="", flush=True)

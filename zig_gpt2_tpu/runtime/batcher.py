@@ -1,0 +1,238 @@
+"""Continuous batching: a host-side slot scheduler over one fixed decode batch.
+
+The TPU decode step is a fixed-shape jitted function over a (B, …) KV cache —
+re-tracing per request set would be ruinous. So serving keeps ONE cache of B
+slots alive forever and streams *requests* through *slots*:
+
+- ``submit`` queues a request; free slots are filled by a single-sequence
+  bucketed prefill whose KV rows are spliced into the shared cache at the
+  slot's batch index (one jitted ``dynamic_update_slice`` per leaf).
+- every ``step`` runs ONE fused decode+sample step for the whole batch and
+  syncs exactly one (B,) int32 token vector to the host, where per-request
+  bookkeeping (stop tokens, budgets, retirement, refill) happens.
+- finished slots are immediately refilled from the queue — sequences enter
+  and exit without ever stalling the other slots (pad-and-mask slots,
+  SURVEY.md §7 hard part 5).
+
+Inactive slots keep decoding garbage that is discarded on the host; their
+cache length is reset on retirement, and ``dynamic_update_slice`` clamping
+keeps even a long-idle slot in bounds. The reference processes exactly one
+prompt per process (main.zig:344-371) — this subsystem is the BASELINE
+"continuous batching" extension, new TPU-first design.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Callable, Deque, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_gpt2_tpu.config import GPTConfig, SamplingConfig
+from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.runtime.sampling import sample
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt_ids: List[int]
+    max_new_tokens: Optional[int]
+    stop_tokens: frozenset
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+    # Set while scheduled: slot index and the next token to feed the model.
+    slot: Optional[int] = None
+    next_token: Optional[int] = None
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class ContinuousBatcher:
+    """Streams requests through a fixed batch of KV-cache slots."""
+
+    def __init__(
+        self,
+        config: GPTConfig,
+        params,
+        batch_size: int = 8,
+        max_seq: Optional[int] = None,
+        prompt_buckets: Optional[Sequence[int]] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        kv_quant: Optional[str] = None,
+        cache_dtype=None,
+        on_token: Optional[Callable[[int, int], None]] = None,
+    ):
+        self.config = config
+        self.params = params
+        self.batch_size = batch_size
+        self.max_seq = max_seq or config.context_size
+        self.sampling = sampling
+        self.kv_quant = kv_quant
+        self.on_token = on_token  # callback(rid, token) for streaming
+        self.prompt_buckets = tuple(
+            b for b in (prompt_buckets or (32, 128, 512, config.context_size))
+            if b <= self.max_seq
+        ) or (self.max_seq,)
+        cache_dtype = cache_dtype or params["wte"].dtype
+
+        self.cache = gpt2.init_kv_cache(
+            config, batch_size, self.max_seq, dtype=cache_dtype, quant=kv_quant
+        )
+        self._slot_cache_proto = functools.partial(
+            gpt2.init_kv_cache, config, 1, self.max_seq, dtype=cache_dtype,
+            quant=kv_quant,
+        )
+        self._key = jax.random.PRNGKey(sampling.seed)
+
+        self._prefill1 = jax.jit(
+            functools.partial(gpt2.prefill, config=config), donate_argnums=(1,)
+        )
+        self._sample1 = jax.jit(
+            functools.partial(
+                sample, temperature=sampling.temperature, top_k=sampling.top_k
+            )
+        )
+
+        def decode_sample(params, cache, tokens, key):
+            cache, logits = gpt2.decode_step(params, cache, tokens, config)
+            key, sub = jax.random.split(key)
+            toks = sample(logits, sub, sampling.temperature, sampling.top_k)
+            return cache, toks, key
+
+        self._decode = jax.jit(decode_sample, donate_argnums=(1,))
+
+        def insert_slot(cache, slot_cache, idx):
+            out = {}
+            for name, leaf in cache.items():
+                axis = 0 if name == "length" else 1
+                out[name] = jax.lax.dynamic_update_slice_in_dim(
+                    leaf, slot_cache[name].astype(leaf.dtype), idx, axis=axis
+                )
+            return out
+
+        self._insert = jax.jit(insert_slot, donate_argnums=(0,))
+
+        def reset_length(cache, idx):
+            length = jax.lax.dynamic_update_slice_in_dim(
+                cache["length"], jnp.zeros((1,), jnp.int32), idx, axis=0
+            )
+            return dict(cache, length=length)
+
+        self._reset = jax.jit(reset_length, donate_argnums=(0,))
+
+        self.slots: List[Optional[Request]] = [None] * batch_size
+        self.queue: Deque[Request] = deque()
+        self.finished: List[Request] = []
+        self._next_rid = 0
+        self._tokens = np.zeros((batch_size,), np.int32)  # next feed per slot
+
+    # -- client API -----------------------------------------------------------
+
+    def submit(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        stop_tokens: Sequence[int] = (),
+    ) -> int:
+        prompt_ids = list(prompt_ids)
+        if not prompt_ids:
+            raise ValueError("prompt must contain at least one token")
+        if len(prompt_ids) >= self.max_seq:
+            raise ValueError(
+                f"prompt length {len(prompt_ids)} >= max_seq {self.max_seq}"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(
+            Request(rid, prompt_ids, max_new_tokens, frozenset(stop_tokens))
+        )
+        return rid
+
+    @property
+    def pending(self) -> int:
+        return len(self.queue) + sum(r is not None for r in self.slots)
+
+    def step(self) -> Dict[int, int]:
+        """Admit queued requests, run one batched decode step, return
+        {rid: token} emitted this step."""
+        self._admit()
+        active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return {}
+
+        cache, toks_dev, self._key = self._decode(
+            self.params, self.cache, jnp.asarray(self._tokens), self._key
+        )
+        self.cache = cache
+        toks = np.asarray(toks_dev)  # the one host sync per step
+
+        emitted: Dict[int, int] = {}
+        for i, req in active:
+            fed = int(self._tokens[i])  # token just consumed by the model
+            if fed in req.stop_tokens:  # stop tokens are not emitted
+                self._retire(i, req)
+                continue
+            req.generated.append(fed)
+            emitted[req.rid] = fed
+            if self.on_token is not None:
+                self.on_token(req.rid, fed)
+            budget_hit = (
+                req.max_new_tokens is not None
+                and len(req.generated) >= req.max_new_tokens
+            )
+            full = len(req.prompt_ids) + len(req.generated) >= self.max_seq
+            if budget_hit or full:
+                self._retire(i, req)
+            else:
+                self._tokens[i] = int(toks[i])
+        return emitted
+
+    def run(self) -> List[Request]:
+        """Drain queue + slots to completion; returns finished requests in
+        completion order."""
+        while self.pending:
+            self.step()
+        done, self.finished = self.finished, []
+        return done
+
+    # -- internals -------------------------------------------------------------
+
+    def _admit(self) -> None:
+        for i in range(self.batch_size):
+            if self.slots[i] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            n = len(req.prompt_ids)
+            bucket = _bucket(n, self.prompt_buckets)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :n] = req.prompt_ids
+            slot_cache, logits = self._prefill1(
+                self.params,
+                self._slot_cache_proto(),
+                jnp.asarray(toks),
+                jnp.asarray([n], jnp.int32),
+            )
+            self.cache = self._insert(self.cache, slot_cache, i)
+            self._key, sub = jax.random.split(self._key)
+            first = int(self._sample1(logits, sub)[0])
+            req.slot = i
+            self.slots[i] = req
+            self._tokens[i] = first
+
+    def _retire(self, slot: int, req: Request) -> None:
+        req.done = True
+        req.slot = None
+        self.slots[slot] = None
+        self._tokens[slot] = 0
+        self.cache = self._reset(self.cache, slot)
+        self.finished.append(req)
