@@ -74,12 +74,15 @@ class Encoder:
         vocab: Dict[str, int],
         merges: Optional[Sequence[Tuple[str, str]]] = None,
         mode: str = "bpe",
+        native: bool = True,
     ):
         """Args:
           vocab: token string (in byte-unicode space) -> id (encoder.json).
           merges: ordered merge pairs (vocab.bpe). Required for mode="bpe".
           mode: "bpe" (true merge-rank) or "greedy" (the reference's
             longest-prefix algorithm, bpe.zig:81-92, for parity testing).
+          native: use the C++ merge-loop core when available (identical
+            output; pure-Python fallback otherwise).
         """
         if mode not in ("bpe", "greedy"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -94,6 +97,38 @@ class Encoder:
         self.byte_to_unicode = bytes_to_unicode()
         self.unicode_to_byte = {v: k for k, v in self.byte_to_unicode.items()}
         self._bpe_cache: Dict[str, Tuple[str, ...]] = {}
+        self._native = None
+        self._native_ids: Dict[str, List[int]] = {}
+        if native and mode == "bpe":
+            self._native = self._init_native()
+
+    def _to_bytes(self, token: str) -> Optional[bytes]:
+        """Unicode-space token -> raw bytes (None if any char is unmapped)."""
+        try:
+            return bytes(self.unicode_to_byte[ch] for ch in token)
+        except KeyError:
+            return None
+
+    def _init_native(self):
+        """Build the C++ encoder (zig_gpt2_tpu.native) when possible."""
+        if sorted(self.vocab.values()) != list(range(len(self.vocab))):
+            return None  # native core indexes tokens by contiguous id
+        by_id = sorted(self.vocab, key=self.vocab.get)
+        vocab_bytes = [self._to_bytes(t) for t in by_id]
+        merge_bytes = [
+            (self._to_bytes(l), self._to_bytes(r))
+            for (l, r) in sorted(self.merge_ranks, key=self.merge_ranks.get)
+        ]
+        if any(t is None for t in vocab_bytes) or any(
+            l is None or r is None for l, r in merge_bytes
+        ):
+            return None
+        try:
+            from zig_gpt2_tpu.native import NativeBPE
+
+            return NativeBPE(vocab_bytes, merge_bytes)
+        except Exception:
+            return None
 
     # -- construction -------------------------------------------------------
 
@@ -160,19 +195,33 @@ class Encoder:
     def encode(self, text: str) -> List[int]:
         ids: List[int] = []
         for pre in PRETOKENIZE_PATTERN.findall(text):
-            mapped = "".join(self.byte_to_unicode[b] for b in pre.encode("utf-8"))
+            raw = pre.encode("utf-8")
+            if self._native is not None:
+                cached = self._native_ids.get(pre)
+                if cached is None:
+                    cached = self._native.encode_words([raw])
+                    if cached is None:  # unknown piece — Python fallback
+                        mapped = "".join(self.byte_to_unicode[b] for b in raw)
+                        cached = [self.vocab[p] for p in self._bpe(mapped)]
+                    self._native_ids[pre] = cached
+                ids.extend(cached)
+                continue
+            mapped = "".join(self.byte_to_unicode[b] for b in raw)
             pieces = self._bpe(mapped) if self.mode == "bpe" else self._greedy(mapped)
             ids.extend(self.vocab[p] for p in pieces)
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
-        text = "".join(self.inv_vocab[i] for i in ids)
-        data = bytes(self.unicode_to_byte[ch] for ch in text)
-        return data.decode("utf-8", errors="replace")
+        return self.decode_bytes(ids).decode("utf-8", errors="replace")
 
     def decode_bytes(self, ids: Iterable[int]) -> bytes:
         """Lossless byte decode (streaming decoders must buffer partial
         UTF-8 sequences; see runtime.engine.StreamDecoder)."""
+        ids = list(ids)
+        if self._native is not None:
+            out = self._native.decode(ids)
+            if out is not None:
+                return out
         text = "".join(self.inv_vocab[i] for i in ids)
         return bytes(self.unicode_to_byte[ch] for ch in text)
 
