@@ -105,8 +105,12 @@ def main(argv=None) -> None:
             dp, tp = (int(x) for x in args.mesh.split("x"))
             m = pmesh.make_mesh(dp, tp)
             shardings = pmesh.param_shardings(m, config)
-        params = zio.load_gpt2_raw(args.weights, config, dtype=dtype, shardings=shardings)
-        if args.quant:
+        if str(args.weights).endswith(".npz"):
+            # Pre-repacked (possibly quantized) checkpoint — tools/repack.py.
+            params = zio.load_pytree_npz(args.weights)
+        else:
+            params = zio.load_gpt2_raw(args.weights, config, dtype=dtype, shardings=shardings)
+        if args.quant and "lm_head" not in params:
             from zig_gpt2_tpu.quant import quantize as q
 
             params = q.quantize_params(params, mode=args.quant)

@@ -24,6 +24,7 @@ A TPU-first re-design of the reference's model layer (main.zig:5-208):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -31,6 +32,32 @@ import jax.numpy as jnp
 
 from zig_gpt2_tpu.config import GPTConfig
 from zig_gpt2_tpu.ops import layers as ops
+
+
+def _use_fused_attention() -> bool:
+    """Fused Pallas decode attention on TPU (ZG2_FUSED_ATTN=0 to disable)."""
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ZG2_FUSED_ATTN", "1") != "0"
+    )
+
+
+def _decode_attention(q, k_cache, v_cache, length):
+    if _use_fused_attention():
+        from zig_gpt2_tpu.ops import attention as fused
+
+        return fused.decode_attention_fused(q, k_cache, v_cache, length)
+    return ops.decode_attention(q, k_cache, v_cache, length)
+
+
+def _decode_attention_quant(q, k_cache, k_scale, v_cache, v_scale, length):
+    if _use_fused_attention():
+        from zig_gpt2_tpu.ops import attention as fused
+
+        return fused.decode_attention_quant_fused(
+            q, k_cache, k_scale, v_cache, v_scale, length
+        )
+    return ops.decode_attention_quant(q, k_cache, k_scale, v_cache, v_scale, length)
 
 Params = Dict[str, Any]
 KVCache = Dict[str, jax.Array]
@@ -237,13 +264,13 @@ def _block_decode(
         lc["v"] = jax.vmap(_put_row)(lc["v"], vq, pos)
         lc["k_scale"] = jax.vmap(_put_scale)(lc["k_scale"], ks, pos)
         lc["v_scale"] = jax.vmap(_put_scale)(lc["v_scale"], vs, pos)
-        attn = ops.decode_attention_quant(
+        attn = _decode_attention_quant(
             q, lc["k"], lc["k_scale"], lc["v"], lc["v_scale"], pos + 1
         )
     else:
         lc["k"] = jax.vmap(_put_row)(lc["k"], k, pos)
         lc["v"] = jax.vmap(_put_row)(lc["v"], v, pos)
-        attn = ops.decode_attention(q, lc["k"], lc["v"], pos + 1)
+        attn = _decode_attention(q, lc["k"], lc["v"], pos + 1)
     attn = attn.reshape(x.shape[0], -1)
     x = x + _linear(bp["attn"]["c_proj"], attn)
     h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)

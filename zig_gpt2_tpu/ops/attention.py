@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fused single-token decode attention over the KV cache.
+
+One kernel per batch-element grid cell computes the whole decode-attention
+pipeline — scores = q·Kᵀ/√D, length-mask, f32 softmax, out = probs·V — for
+every head, with the (H, S, D) K/V tiles streamed HBM→VMEM once and nothing
+round-tripping through HBM in between. The head loop is a static Python
+unroll (H ≤ 25 for the GPT-2 family): per head one NT dot (1,D)·(S,D)ᵀ, a
+masked f32 softmax, and one NN dot (1,S)·(S,D), all MXU/VPU-resident.
+
+This replaces the reference's per-head sgemm → softmax → sgemm sequence
+(ops.zig:249-307) and its per-step full-cache transpose (ops.zig:151-158):
+the cache is already (B, H, S, D), the query length is 1, so no causal mask
+is needed — only the valid-length mask (SURVEY.md §7 hard part 4:
+fixed-shape cache + length mask instead of the reference's dynamic slices).
+
+Block-shape note: grid cells take whole (1, H, S, D) slabs — TPU Pallas
+requires the last two block dims to be sublane/lane-aligned or equal to the
+array dims, which rules out per-head (1, 1, S, D) blocks with H > 1 on the
+second-to-last-of-three axes.
+
+Two variants share the math:
+- ``decode_attention_fused``      — bf16/f32 cache.
+- ``decode_attention_quant_fused``— INT8 cache with per-(token, head) f32
+  scales; dequantization is folded in (K scale multiplies the score row,
+  V scale folds into the probabilities) — int8 never materializes in HBM.
+
+Per-sequence valid lengths arrive via scalar prefetch (SMEM). The jnp
+reference implementations live in ops/layers.py; parity is tested in
+interpret mode (tests/test_attention_kernel.py); dispatch happens in
+models/gpt2.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zig_gpt2_tpu.ops.layers import MASK_VALUE
+
+
+def _softmax_masked(scores: jax.Array, length: jax.Array) -> jax.Array:
+    """(1, S) f32 scores -> masked, numerically-stable softmax probs."""
+    s = scores.shape[-1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    scores = jnp.where(ids < length, scores, MASK_VALUE)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _qk(q: jax.Array, k: jax.Array) -> jax.Array:
+    """(1, D) · (S, D)ᵀ -> (1, S) in f32 (NT layout — no transpose copy)."""
+    return jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _lengths_for(q: jax.Array, length) -> jax.Array:
+    length = jnp.asarray(length, jnp.int32)
+    if length.ndim == 0:
+        length = jnp.broadcast_to(length, (q.shape[0],))
+    return length
+
+
+def _q_spec(h, d):
+    return pl.BlockSpec((1, h, d), lambda i, _: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _cache_spec(h, s, d):
+    return pl.BlockSpec((1, h, s, d), lambda i, _: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scale_spec(h, s):
+    return pl.BlockSpec((1, h, 1, s), lambda i, _: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_fused(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    length: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode attention. q: (B, H, D); caches: (B, H, S, D);
+    length: scalar or (B,) valid rows. Returns (B, H, D) in q.dtype."""
+    b, h, d = q.shape
+    s = k_cache.shape[-2]
+    scale = 1.0 / math.sqrt(d)
+
+    def kernel(len_ref, q_ref, k_ref, v_ref, out_ref):
+        i = pl.program_id(0)
+        n = len_ref[i]
+        for hh in range(h):  # static unroll over heads
+            qh = q_ref[0, pl.ds(hh, 1), :]          # (1, D)
+            kh = k_ref[0, hh]                        # (S, D)
+            vh = v_ref[0, hh]
+            probs = _softmax_masked(_qk(qh, kh) * scale, n)
+            out = jnp.dot(probs.astype(vh.dtype), vh,
+                          preferred_element_type=jnp.float32)
+            out_ref[0, pl.ds(hh, 1), :] = out.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[_q_spec(h, d), _cache_spec(h, s, d), _cache_spec(h, s, d)],
+        out_specs=_q_spec(h, d),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        interpret=interpret,
+    )(_lengths_for(q, length), q, k_cache, v_cache)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_quant_fused(
+    q: jax.Array,
+    k_cache: jax.Array,
+    k_scale: jax.Array,
+    v_cache: jax.Array,
+    v_scale: jax.Array,
+    length: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode attention over an INT8 cache. q: (B, H, D);
+    k_cache/v_cache: (B, H, S, D) int8; k_scale/v_scale: (B, H, S) f32."""
+    b, h, d = q.shape
+    s = k_cache.shape[-2]
+    scale = 1.0 / math.sqrt(d)
+
+    def kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref):
+        i = pl.program_id(0)
+        n = len_ref[i]
+        for hh in range(h):
+            qh = q_ref[0, pl.ds(hh, 1), :].astype(jnp.bfloat16)
+            kh = k_ref[0, hh].astype(jnp.bfloat16)   # int8 exact in bf16
+            vh = v_ref[0, hh].astype(jnp.bfloat16)
+            ks = ks_ref[0, hh].astype(jnp.float32)   # (1, S)
+            vs = vs_ref[0, hh].astype(jnp.float32)
+            probs = _softmax_masked(_qk(qh, kh) * (ks * scale), n)
+            pv = (probs * vs).astype(jnp.bfloat16)
+            out = jnp.dot(pv, vh, preferred_element_type=jnp.float32)
+            out_ref[0, pl.ds(hh, 1), :] = out.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            _q_spec(h, d), _cache_spec(h, s, d), _scale_spec(h, s),
+            _cache_spec(h, s, d), _scale_spec(h, s),
+        ],
+        out_specs=_q_spec(h, d),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        interpret=interpret,
+    )(
+        _lengths_for(q, length), q, k_cache,
+        k_scale[:, :, None, :], v_cache, v_scale[:, :, None, :],
+    )

@@ -61,10 +61,17 @@ def param_pspecs(config: GPTConfig) -> Dict[str, Any]:
     }
 
 
-def cache_pspecs(config: GPTConfig) -> Dict[str, Any]:
-    """KV cache (L, B, H, S, D): batch on data, heads on model."""
+def cache_pspecs(config: GPTConfig, quant: Optional[str] = None) -> Dict[str, Any]:
+    """KV cache (L, B, H, S, D): batch on data, heads on model. With
+    quant="int8" the per-(token, head) scale planes (L, B, H, S) shard the
+    same way."""
     kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
-    return {"k": kv, "v": kv, "length": P(DATA_AXIS)}
+    specs = {"k": kv, "v": kv, "length": P(DATA_AXIS)}
+    if quant == "int8":
+        scale = P(None, DATA_AXIS, MODEL_AXIS, None)
+        specs["k_scale"] = scale
+        specs["v_scale"] = scale
+    return specs
 
 
 def _named(mesh: Mesh, pspecs):

@@ -175,6 +175,44 @@ def save_gpt2_raw(params: Dict[str, Any], raw_dir: str | Path, config: GPTConfig
     save_ln("ln_f", p["ln_f"])
 
 
+# ---------------------------------------------------------------------------
+# Arbitrary-pytree checkpoints (quantized weights: int8/int4 payloads + scales)
+# ---------------------------------------------------------------------------
+# The raw format can't carry quantized params (headerless f32 only, and no
+# place for scales), so repacked checkpoints use a single .npz whose keys are
+# '/'-joined tree paths. This is the SURVEY.md §5 "quantized weight repacking
+# (INT8/INT4 + scales) as an offline step".
+
+
+def save_pytree_npz(params: Dict[str, Any], path: str | Path) -> None:
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        elif node is not None:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_pytree_npz(path: str | Path, device_put: bool = True) -> Dict[str, Any]:
+    with np.load(path) as z:
+        params: Dict[str, Any] = {}
+        for key in z.files:
+            node = params
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = z[key]
+    if device_put:
+        params = jax.tree.map(jnp.asarray, params)
+    return params
+
+
 def _stack_tree(trees: list) -> Dict[str, np.ndarray]:
     """Stack a list of identical dict-of-array trees along a new axis 0."""
     out = {}
