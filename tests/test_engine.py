@@ -118,3 +118,35 @@ def test_generate_text_streams(params):
     out = eng.generate_text("the quick", 10, SamplingConfig(temperature=0.0), stream_to=sink)
     assert sink.getvalue() == out
     assert enc.decode(enc.encode(out)) == out  # valid tokenizable text
+
+
+class TestDebugTools:
+    def test_checked_decode_step_catches_overflow(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from zig_gpt2_tpu.config import GPT2_NANO
+        from zig_gpt2_tpu.models import gpt2
+        from zig_gpt2_tpu.utils.debug import checked_decode_step
+
+        params = gpt2.init_params(GPT2_NANO, jax.random.PRNGKey(0))
+        step = checked_decode_step(GPT2_NANO)
+        cache = gpt2.init_kv_cache(GPT2_NANO, 1, 16)
+        tok = jnp.zeros((1,), jnp.int32)
+
+        cache["length"] = jnp.asarray([3], jnp.int32)
+        err, (cache2, logits) = step(params, cache, tok)
+        err.throw()  # in-bounds: no error
+        assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+        cache2["length"] = jnp.asarray([16], jnp.int32)  # == max_seq: overflow
+        err, _ = step(params, cache2, tok)
+        with pytest.raises(Exception, match="overflow"):
+            err.throw()
+
+    def test_nan_checks_context(self):
+        from zig_gpt2_tpu.utils.debug import nan_checks
+
+        with nan_checks():
+            assert jax.config.jax_debug_nans
+        assert not jax.config.jax_debug_nans

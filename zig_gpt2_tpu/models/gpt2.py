@@ -42,22 +42,34 @@ def _use_fused_attention() -> bool:
     )
 
 
-def _decode_attention(q, k_cache, v_cache, length):
+def _decode_attention(q, caches, idx, length):
+    """Decode attention over the stacked (L, B, H, S, D) cache at layer idx."""
     if _use_fused_attention():
         from zig_gpt2_tpu.ops import attention as fused
 
-        return fused.decode_attention_fused(q, k_cache, v_cache, length)
-    return ops.decode_attention(q, k_cache, v_cache, length)
+        return fused.decode_attention_fused(
+            q, caches["k"], caches["v"], length, layer=idx
+        )
+    k = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
+    return ops.decode_attention(q, k, v, length)
 
 
-def _decode_attention_quant(q, k_cache, k_scale, v_cache, v_scale, length):
+def _decode_attention_quant(q, caches, idx, length):
     if _use_fused_attention():
         from zig_gpt2_tpu.ops import attention as fused
 
         return fused.decode_attention_quant_fused(
-            q, k_cache, k_scale, v_cache, v_scale, length
+            q, caches["k"], caches["k_scale"], caches["v"], caches["v_scale"],
+            length, layer=idx,
         )
-    return ops.decode_attention_quant(q, k_cache, k_scale, v_cache, v_scale, length)
+    sl = {
+        name: jax.lax.dynamic_index_in_dim(caches[name], idx, 0, keepdims=False)
+        for name in ("k", "k_scale", "v", "v_scale")
+    }
+    return ops.decode_attention_quant(
+        q, sl["k"], sl["k_scale"], sl["v"], sl["v_scale"], length
+    )
 
 Params = Dict[str, Any]
 KVCache = Dict[str, jax.Array]
@@ -219,65 +231,125 @@ def _block_prefill(
     return x, k, v
 
 
-def _put_row(cache_b: jax.Array, row_b: jax.Array, pos_b: jax.Array) -> jax.Array:
-    """Write one (H, D) row into a (H, S, D) cache at position pos_b."""
-    return jax.lax.dynamic_update_slice_in_dim(
-        cache_b, row_b[:, None, :].astype(cache_b.dtype), pos_b, axis=1
+def _put_row_stacked(
+    stack: jax.Array, row: jax.Array, idx: jax.Array, pos: jax.Array
+) -> jax.Array:
+    """Write (B, H, D) rows into the stacked (L, B, H, S, D) cache at
+    (idx, b, :, pos[b], :) — a row-granular in-place update of the scan
+    carry (never copies a whole layer slab)."""
+
+    def upd(c_b, r_b, p_b):  # (L, H, S, D), (H, D), scalar
+        return jax.lax.dynamic_update_slice(
+            c_b, r_b[None, :, None, :].astype(c_b.dtype), (idx, 0, p_b, 0)
+        )
+
+    return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(stack, row, pos)
+
+
+def _put_scale_stacked(
+    stack: jax.Array, s: jax.Array, idx: jax.Array, pos: jax.Array
+) -> jax.Array:
+    """Write (B, H) scales into the stacked (L, B, H, S) plane at
+    (idx, b, :, pos[b])."""
+
+    def upd(c_b, s_b, p_b):  # (L, H, S), (H,), scalar
+        return jax.lax.dynamic_update_slice(
+            c_b, s_b[None, :, None].astype(c_b.dtype), (idx, 0, p_b)
+        )
+
+    return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(stack, s, pos)
+
+
+def _layer_slice(tree: Params, idx: jax.Array) -> Params:
+    """Slice every (L, ...) leaf of a stacked param subtree at layer idx."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False), tree
     )
 
 
-def _put_scale(scale_b: jax.Array, s_b: jax.Array, pos_b: jax.Array) -> jax.Array:
-    """Write one (H,) scale into a (H, S) scale plane at position pos_b."""
-    return jax.lax.dynamic_update_slice_in_dim(
-        scale_b, s_b[:, None].astype(scale_b.dtype), pos_b, axis=1
-    )
+def _linear_at(p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Apply layer ``idx`` of a stacked linear. On TPU the quantized GEMV
+    path feeds the Pallas kernel the WHOLE stacked weight with the layer
+    selected in the kernel's index map — XLA never materializes a per-layer
+    slice (profiled at ~135 GB/s + an extra copy when it has to)."""
+    quantized = "qw" in p or "qw4" in p
+    rows = x.size // x.shape[-1]
+    if (
+        quantized
+        and jax.default_backend() == "tpu"
+        and rows <= 64
+    ):
+        from zig_gpt2_tpu.quant import kernels
+
+        int4 = "qw4" in p
+        qw = p["qw4"] if int4 else p["qw"]
+        x2 = x.reshape(rows, x.shape[-1])
+        y = kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx)
+        y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
+        if "b" in p:
+            y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
+        return y
+    return _linear(_layer_slice(p, idx), x)
 
 
 def _block_decode(
     x: jax.Array,
-    bp: Params,
-    lc: Dict[str, jax.Array],
+    blocks: Params,
+    idx: jax.Array,
+    caches: Dict[str, jax.Array],
     pos: jax.Array,
     config: GPTConfig,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """One transformer block for a single decode token.
+    """One transformer block for a single decode token, operating directly
+    on the scan-STACKED caches (the cache lives in the scan carry so jit
+    donation aliases it in place — routing it through scan xs/ys forced a
+    full cache copy per step, 14% of the 1.5B decode profile).
 
     Args:
       x: (B, E) current hidden state.
-      lc: this layer's cache — {"k","v": (B, H, max_seq, D)} plus
-        {"k_scale","v_scale": (B, H, max_seq)} when the cache is INT8.
+      blocks: the stacked per-layer params (closure-invariant in the scan).
+      idx: scalar int32 layer index.
+      caches: {"k","v": (L, B, H, max_seq, D)} plus
+        {"k_scale","v_scale": (L, B, H, max_seq)} when the cache is INT8.
       pos: (B,) int32 — index of the current token (== #cached tokens).
 
-    Returns (x, lc) with the new K/V row written at ``pos``.
+    Returns (x, caches) with the new K/V row written at (idx, :, :, pos).
     """
-    h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
-    q, k, v = _qkv(bp["attn"], h, config.attn_heads)  # (B, H, D)
+    ln1 = _layer_slice(blocks["ln_1"], idx)
+    h = ops.layer_norm(x, ln1["w"], ln1["b"], config.layer_norm_eps)
+    H = config.attn_heads
+
+    def heads(t):
+        return t.reshape(*t.shape[:-1], H, t.shape[-1] // H)
+
+    q = heads(_linear_at(blocks["attn"]["wq"], h, idx))  # (B, H, D)
+    k = heads(_linear_at(blocks["attn"]["wk"], h, idx))
+    v = heads(_linear_at(blocks["attn"]["wv"], h, idx))
 
     # Append this token's K/V at row `pos` (per batch element). Replaces the
     # reference's append + full-cache transpose (ops.zig:151-158) with an
     # in-place dynamic update in the already-(H, S, D) layout.
-    lc = dict(lc)
-    if "k_scale" in lc:  # INT8 cache: quantize on append
+    caches = dict(caches)
+    if "k_scale" in caches:  # INT8 cache: quantize on append
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
-        lc["k"] = jax.vmap(_put_row)(lc["k"], kq, pos)
-        lc["v"] = jax.vmap(_put_row)(lc["v"], vq, pos)
-        lc["k_scale"] = jax.vmap(_put_scale)(lc["k_scale"], ks, pos)
-        lc["v_scale"] = jax.vmap(_put_scale)(lc["v_scale"], vs, pos)
-        attn = _decode_attention_quant(
-            q, lc["k"], lc["k_scale"], lc["v"], lc["v_scale"], pos + 1
-        )
+        caches["k"] = _put_row_stacked(caches["k"], kq, idx, pos)
+        caches["v"] = _put_row_stacked(caches["v"], vq, idx, pos)
+        caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, pos)
+        caches["v_scale"] = _put_scale_stacked(caches["v_scale"], vs, idx, pos)
+        attn = _decode_attention_quant(q, caches, idx, pos + 1)
     else:
-        lc["k"] = jax.vmap(_put_row)(lc["k"], k, pos)
-        lc["v"] = jax.vmap(_put_row)(lc["v"], v, pos)
-        attn = _decode_attention(q, lc["k"], lc["v"], pos + 1)
+        caches["k"] = _put_row_stacked(caches["k"], k, idx, pos)
+        caches["v"] = _put_row_stacked(caches["v"], v, idx, pos)
+        attn = _decode_attention(q, caches, idx, pos + 1)
     attn = attn.reshape(x.shape[0], -1)
-    x = x + _linear(bp["attn"]["c_proj"], attn)
-    h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
-    h = _linear(bp["mlp"]["c_fc"], h)
+    x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx)
+    ln2 = _layer_slice(blocks["ln_2"], idx)
+    h = ops.layer_norm(x, ln2["w"], ln2["b"], config.layer_norm_eps)
+    h = _linear_at(blocks["mlp"]["c_fc"], h, idx)
     h = ops.gelu(h)
-    x = x + _linear(bp["mlp"]["c_proj"], h)
-    return x, lc
+    x = x + _linear_at(blocks["mlp"]["c_proj"], h, idx)
+    return x, caches
 
 
 def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
@@ -346,31 +418,34 @@ def prefill(
 
     layer_caches = {name: c for name, c in cache.items() if name != "length"}
 
-    def step(x, xs):
-        bp, lc = xs
+    def step(carry, xs):
+        x, caches = carry
+        bp, idx = xs  # weights stay as xs here: prefill amortizes the
+        # per-layer slice over the whole prompt (decode does not — see
+        # decode_step, which closes over the stacked weights instead).
         x, k, v = _block_prefill(x, bp, config, length_mask=length_mask)
-        lc = dict(lc)
+        caches = dict(caches)
 
-        def put(cache, rows):  # write the first T rows in place
-            return jax.lax.dynamic_update_slice_in_dim(
-                cache, rows.astype(cache.dtype), 0, axis=cache.ndim - 2
+        def put(stack, rows):  # write the first T rows of layer idx in place
+            start = (idx,) + (0,) * (stack.ndim - 1)
+            return jax.lax.dynamic_update_slice(
+                stack, rows[None].astype(stack.dtype), start
             )
 
-        if "k_scale" in lc:  # INT8 cache: quantize on append
+        if "k_scale" in caches:  # INT8 cache: quantize on append
             kq, ks = ops.quantize_kv(k)
             vq, vs = ops.quantize_kv(v)
-            lc["k"], lc["v"] = put(lc["k"], kq), put(lc["v"], vq)
-            lc["k_scale"] = jax.lax.dynamic_update_slice_in_dim(
-                lc["k_scale"], ks, 0, axis=2
-            )
-            lc["v_scale"] = jax.lax.dynamic_update_slice_in_dim(
-                lc["v_scale"], vs, 0, axis=2
-            )
+            caches["k"], caches["v"] = put(caches["k"], kq), put(caches["v"], vq)
+            caches["k_scale"] = put(caches["k_scale"], ks)
+            caches["v_scale"] = put(caches["v_scale"], vs)
         else:
-            lc["k"], lc["v"] = put(lc["k"], k), put(lc["v"], v)
-        return x, lc
+            caches["k"], caches["v"] = put(caches["k"], k), put(caches["v"], v)
+        return (x, caches), None
 
-    x, new_layer_caches = jax.lax.scan(step, x, (params["blocks"], layer_caches))
+    (x, new_layer_caches), _ = jax.lax.scan(
+        step, (x, layer_caches),
+        (params["blocks"], jnp.arange(config.n_layers)),
+    )
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     # Gather each sequence's last valid hidden state, then one lm_head GEMM.
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
@@ -393,13 +468,16 @@ def decode_step(
     pos = cache["length"]  # (B,) index of the incoming token
     x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
     layer_caches = {name: c for name, c in cache.items() if name != "length"}
+    blocks = params["blocks"]  # closure-invariant: scan never slices weights
 
-    def step(x, xs):
-        bp, lc = xs
-        x, lc = _block_decode(x, bp, lc, pos, config)
-        return x, lc
+    def step(carry, idx):
+        x, caches = carry
+        x, caches = _block_decode(x, blocks, idx, caches, pos, config)
+        return (x, caches), None
 
-    x, new_layer_caches = jax.lax.scan(step, x, (params["blocks"], layer_caches))
+    (x, new_layer_caches), _ = jax.lax.scan(
+        step, (x, layer_caches), jnp.arange(config.n_layers)
+    )
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     logits = _lm_head(params, x, config)
     new_cache = dict(new_layer_caches, length=pos + 1)

@@ -68,19 +68,37 @@ def _lengths_for(q: jax.Array, length) -> jax.Array:
     return length
 
 
-def _q_spec(h, d):
-    return pl.BlockSpec((1, h, d), lambda i, _: (i, 0, 0),
+def _q_spec(h, d, stacked):
+    if stacked:
+        return pl.BlockSpec((1, h, d), lambda i, ln, idx: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, h, d), lambda i, ln: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _cache_spec(h, s, d):
-    return pl.BlockSpec((1, h, s, d), lambda i, _: (i, 0, 0, 0),
+def _cache_spec(h, s, d, stacked):
+    """Cache block. Stacked mode indexes the (L, B, H, S, D) scan-stacked
+    cache directly with the scalar-prefetched layer index — no per-layer
+    slice materialization in HBM."""
+    if stacked:
+        return pl.BlockSpec((1, 1, h, s, d),
+                            lambda i, ln, idx: (idx[0], i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, h, s, d), lambda i, ln: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _scale_spec(h, s):
-    return pl.BlockSpec((1, h, 1, s), lambda i, _: (i, 0, 0, 0),
+def _scale_spec(h, s, stacked):
+    if stacked:
+        return pl.BlockSpec((1, 1, h, 1, s),
+                            lambda i, ln, idx: (idx[0], i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, h, 1, s), lambda i, ln: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _squeeze_layer(val, stacked):
+    return val[0] if stacked else val
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -91,37 +109,55 @@ def decode_attention_fused(
     length: jax.Array,
     *,
     interpret: bool = False,
+    layer=None,
 ) -> jax.Array:
     """Fused decode attention. q: (B, H, D); caches: (B, H, S, D);
-    length: scalar or (B,) valid rows. Returns (B, H, D) in q.dtype."""
+    length: scalar or (B,) valid rows. Returns (B, H, D) in q.dtype.
+
+    Stacked mode (``layer`` given): caches are the full scan-stacked
+    (L, B, H, S, D) arrays and the traced layer index selects the layer in
+    the index map (scalar prefetch) — no per-layer slice materialization."""
+    stacked = layer is not None
     b, h, d = q.shape
     s = k_cache.shape[-2]
     scale = 1.0 / math.sqrt(d)
 
-    def kernel(len_ref, q_ref, k_ref, v_ref, out_ref):
+    def kernel(*refs):
+        if stacked:
+            len_ref, _idx_ref, q_ref, k_ref, v_ref, out_ref = refs
+        else:
+            len_ref, q_ref, k_ref, v_ref, out_ref = refs
         i = pl.program_id(0)
         n = len_ref[i]
+        k_all = _squeeze_layer(k_ref[:], stacked)[0]   # (H, S, D)
+        v_all = _squeeze_layer(v_ref[:], stacked)[0]
         for hh in range(h):  # static unroll over heads
-            qh = q_ref[0, pl.ds(hh, 1), :]          # (1, D)
-            kh = k_ref[0, hh]                        # (S, D)
-            vh = v_ref[0, hh]
-            probs = _softmax_masked(_qk(qh, kh) * scale, n)
-            out = jnp.dot(probs.astype(vh.dtype), vh,
+            qh = q_ref[0, pl.ds(hh, 1), :]             # (1, D)
+            probs = _softmax_masked(_qk(qh, k_all[hh]) * scale, n)
+            out = jnp.dot(probs.astype(v_all.dtype), v_all[hh],
                           preferred_element_type=jnp.float32)
             out_ref[0, pl.ds(hh, 1), :] = out.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if stacked else 1,
         grid=(b,),
-        in_specs=[_q_spec(h, d), _cache_spec(h, s, d), _cache_spec(h, s, d)],
-        out_specs=_q_spec(h, d),
+        in_specs=[
+            _q_spec(h, d, stacked),
+            _cache_spec(h, s, d, stacked),
+            _cache_spec(h, s, d, stacked),
+        ],
+        out_specs=_q_spec(h, d, stacked),
     )
+    args = [_lengths_for(q, length)]
+    if stacked:
+        args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
+    args += [q, k_cache, v_cache]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
-    )(_lengths_for(q, length), q, k_cache, v_cache)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -134,42 +170,59 @@ def decode_attention_quant_fused(
     length: jax.Array,
     *,
     interpret: bool = False,
+    layer=None,
 ) -> jax.Array:
     """Fused decode attention over an INT8 cache. q: (B, H, D);
-    k_cache/v_cache: (B, H, S, D) int8; k_scale/v_scale: (B, H, S) f32."""
+    k_cache/v_cache: (B, H, S, D) int8; k_scale/v_scale: (B, H, S) f32.
+    Stacked mode as in decode_attention_fused (scales then (L, B, H, S))."""
+    stacked = layer is not None
     b, h, d = q.shape
     s = k_cache.shape[-2]
     scale = 1.0 / math.sqrt(d)
 
-    def kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref):
+    def kernel(*refs):
+        if stacked:
+            len_ref, _idx_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref = refs
+        else:
+            len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref = refs
         i = pl.program_id(0)
         n = len_ref[i]
+        k_all = _squeeze_layer(k_ref[:], stacked)[0].astype(jnp.bfloat16)
+        v_all = _squeeze_layer(v_ref[:], stacked)[0].astype(jnp.bfloat16)
+        ks_all = _squeeze_layer(ks_ref[:], stacked)[0].astype(jnp.float32)
+        vs_all = _squeeze_layer(vs_ref[:], stacked)[0].astype(jnp.float32)
         for hh in range(h):
             qh = q_ref[0, pl.ds(hh, 1), :].astype(jnp.bfloat16)
-            kh = k_ref[0, hh].astype(jnp.bfloat16)   # int8 exact in bf16
-            vh = v_ref[0, hh].astype(jnp.bfloat16)
-            ks = ks_ref[0, hh].astype(jnp.float32)   # (1, S)
-            vs = vs_ref[0, hh].astype(jnp.float32)
-            probs = _softmax_masked(_qk(qh, kh) * (ks * scale), n)
-            pv = (probs * vs).astype(jnp.bfloat16)
-            out = jnp.dot(pv, vh, preferred_element_type=jnp.float32)
+            probs = _softmax_masked(
+                _qk(qh, k_all[hh]) * (ks_all[hh] * scale), n
+            )
+            pv = (probs * vs_all[hh]).astype(jnp.bfloat16)
+            out = jnp.dot(pv, v_all[hh], preferred_element_type=jnp.float32)
             out_ref[0, pl.ds(hh, 1), :] = out.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if stacked else 1,
         grid=(b,),
         in_specs=[
-            _q_spec(h, d), _cache_spec(h, s, d), _scale_spec(h, s),
-            _cache_spec(h, s, d), _scale_spec(h, s),
+            _q_spec(h, d, stacked),
+            _cache_spec(h, s, d, stacked), _scale_spec(h, s, stacked),
+            _cache_spec(h, s, d, stacked), _scale_spec(h, s, stacked),
         ],
-        out_specs=_q_spec(h, d),
+        out_specs=_q_spec(h, d, stacked),
     )
+    if stacked:
+        ks_in = k_scale[:, :, :, None, :]
+        vs_in = v_scale[:, :, :, None, :]
+    else:
+        ks_in = k_scale[:, :, None, :]
+        vs_in = v_scale[:, :, None, :]
+    args = [_lengths_for(q, length)]
+    if stacked:
+        args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
+    args += [q, k_cache, ks_in, v_cache, vs_in]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
-    )(
-        _lengths_for(q, length), q, k_cache,
-        k_scale[:, :, None, :], v_cache, v_scale[:, :, None, :],
-    )
+    )(*args)

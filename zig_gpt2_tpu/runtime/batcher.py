@@ -24,6 +24,7 @@ prompt per process (main.zig:344-371) — this subsystem is the BASELINE
 from __future__ import annotations
 
 import functools
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Callable, Deque, Dict, List, Optional, Sequence
@@ -48,6 +49,38 @@ class Request:
     # Set while scheduled: slot index and the next token to feed the model.
     slot: Optional[int] = None
     next_token: Optional[int] = None
+
+
+@dataclass
+class BatcherMetrics:
+    """Aggregate serving metrics (SURVEY.md §5 observability)."""
+
+    steps: int = 0
+    tokens_emitted: int = 0
+    prefills: int = 0
+    requests_finished: int = 0
+    decode_s: float = 0.0          # wall time inside batched decode steps
+    prefill_s: float = 0.0         # wall time inside admissions
+    occupied_slot_steps: int = 0   # Σ active slots over steps
+
+    def slot_utilization(self, batch_size: int) -> float:
+        return self.occupied_slot_steps / max(self.steps * batch_size, 1)
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return self.tokens_emitted / max(self.decode_s, 1e-9)
+
+    def as_dict(self, batch_size: int) -> dict:
+        return {
+            "steps": self.steps,
+            "tokens_emitted": self.tokens_emitted,
+            "prefills": self.prefills,
+            "requests_finished": self.requests_finished,
+            "decode_s": round(self.decode_s, 4),
+            "prefill_s": round(self.prefill_s, 4),
+            "tokens_per_sec": round(self.tokens_per_sec, 2),
+            "slot_utilization": round(self.slot_utilization(batch_size), 4),
+        }
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -130,6 +163,7 @@ class ContinuousBatcher:
 
         self._reset = jax.jit(reset_length, donate_argnums=(0,))
 
+        self.metrics = BatcherMetrics()
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.queue: Deque[Request] = deque()
         self.finished: List[Request] = []
@@ -170,11 +204,15 @@ class ContinuousBatcher:
         if not active:
             return {}
 
+        t0 = time.perf_counter()
         cache, toks_dev, self._key = self._decode(
             self.params, self.cache, jnp.asarray(self._tokens), self._key
         )
         self.cache = cache
         toks = np.asarray(toks_dev)  # the one host sync per step
+        self.metrics.decode_s += time.perf_counter() - t0
+        self.metrics.steps += 1
+        self.metrics.occupied_slot_steps += len(active)
 
         emitted: Dict[int, int] = {}
         for i, req in active:
@@ -183,6 +221,7 @@ class ContinuousBatcher:
                 self._retire(i, req)
                 continue
             req.generated.append(fed)
+            self.metrics.tokens_emitted += 1
             emitted[req.rid] = fed
             if self.on_token is not None:
                 self.on_token(req.rid, fed)
@@ -212,6 +251,7 @@ class ContinuousBatcher:
             if self.slots[i] is not None or not self.queue:
                 continue
             req = self.queue.popleft()
+            t0 = time.perf_counter()
             n = len(req.prompt_ids)
             bucket = _bucket(n, self.prompt_buckets)
             toks = np.zeros((1, bucket), np.int32)
@@ -228,6 +268,8 @@ class ContinuousBatcher:
             req.slot = i
             self.slots[i] = req
             self._tokens[i] = first
+            self.metrics.prefills += 1
+            self.metrics.prefill_s += time.perf_counter() - t0
 
     def _retire(self, slot: int, req: Request) -> None:
         req.done = True
@@ -235,4 +277,5 @@ class ContinuousBatcher:
         self.slots[slot] = None
         self._tokens[slot] = 0
         self.cache = self._reset(self.cache, slot)
+        self.metrics.requests_finished += 1
         self.finished.append(req)
