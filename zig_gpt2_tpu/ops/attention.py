@@ -44,21 +44,37 @@ from zig_gpt2_tpu.ops.layers import MASK_VALUE
 
 
 def _softmax_masked(scores: jax.Array, length: jax.Array) -> jax.Array:
-    """(1, S) f32 scores -> masked, numerically-stable softmax probs."""
-    s = scores.shape[-1]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    """(H, S) f32 scores -> masked, numerically-stable softmax probs,
+    vectorized over the head rows."""
+    h, s = scores.shape
+    ids = jax.lax.broadcasted_iota(jnp.int32, (h, s), 1)
     scores = jnp.where(ids < length, scores, MASK_VALUE)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _qk(q: jax.Array, k: jax.Array) -> jax.Array:
-    """(1, D) · (S, D)ᵀ -> (1, S) in f32 (NT layout — no transpose copy)."""
-    return jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+def _attend(q: jax.Array, k: jax.Array, v: jax.Array,
+            score_scale: jax.Array, prob_scale, length, out_dtype) -> jax.Array:
+    """All-heads decode attention on the VPU.
+
+    q: (H, D), k/v: (H, S, D) — query length is 1, so q·Kᵀ is a
+    broadcast-multiply + lane reduction and probs·V a broadcast-multiply +
+    sublane reduction. The MXU sees none of it: per-head (1,D)·(D,S) dots
+    are latency-bound systolic passes (profiled 2x slower than this), while
+    the VPU crunches the whole (H, S, D) slab in a few vectorized passes.
+    score_scale: (H, S) or scalar factor applied to raw scores (carries both
+    1/sqrt(D) and the INT8 K scales). prob_scale: None or (H, S) V scales.
+    """
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.sum(kf * qf[:, None, :], axis=-1) * score_scale  # (H, S)
+    probs = _softmax_masked(scores, length)
+    if prob_scale is not None:
+        probs = probs * prob_scale
+    vf = v.astype(jnp.float32)
+    out = jnp.sum(probs[:, :, None] * vf, axis=1)  # (H, D)
+    return out.astype(out_dtype)
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -127,16 +143,12 @@ def decode_attention_fused(
             len_ref, _idx_ref, q_ref, k_ref, v_ref, out_ref = refs
         else:
             len_ref, q_ref, k_ref, v_ref, out_ref = refs
-        i = pl.program_id(0)
-        n = len_ref[i]
+        n = len_ref[pl.program_id(0)]
         k_all = _squeeze_layer(k_ref[:], stacked)[0]   # (H, S, D)
         v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        for hh in range(h):  # static unroll over heads
-            qh = q_ref[0, pl.ds(hh, 1), :]             # (1, D)
-            probs = _softmax_masked(_qk(qh, k_all[hh]) * scale, n)
-            out = jnp.dot(probs.astype(v_all.dtype), v_all[hh],
-                          preferred_element_type=jnp.float32)
-            out_ref[0, pl.ds(hh, 1), :] = out.astype(out_ref.dtype)
+        out_ref[0] = _attend(
+            q_ref[0], k_all, v_all, scale, None, n, out_ref.dtype
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if stacked else 1,
@@ -185,20 +197,16 @@ def decode_attention_quant_fused(
             len_ref, _idx_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref = refs
         else:
             len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref = refs
-        i = pl.program_id(0)
-        n = len_ref[i]
-        k_all = _squeeze_layer(k_ref[:], stacked)[0].astype(jnp.bfloat16)
-        v_all = _squeeze_layer(v_ref[:], stacked)[0].astype(jnp.bfloat16)
-        ks_all = _squeeze_layer(ks_ref[:], stacked)[0].astype(jnp.float32)
-        vs_all = _squeeze_layer(vs_ref[:], stacked)[0].astype(jnp.float32)
-        for hh in range(h):
-            qh = q_ref[0, pl.ds(hh, 1), :].astype(jnp.bfloat16)
-            probs = _softmax_masked(
-                _qk(qh, k_all[hh]) * (ks_all[hh] * scale), n
-            )
-            pv = (probs * vs_all[hh]).astype(jnp.bfloat16)
-            out = jnp.dot(pv, v_all[hh], preferred_element_type=jnp.float32)
-            out_ref[0, pl.ds(hh, 1), :] = out.astype(out_ref.dtype)
+        n = len_ref[pl.program_id(0)]
+        k_all = _squeeze_layer(k_ref[:], stacked)[0]           # (H, S, D) int8
+        v_all = _squeeze_layer(v_ref[:], stacked)[0]
+        ks_all = _squeeze_layer(ks_ref[:], stacked)[0, :, 0, :]  # (H, S)
+        vs_all = _squeeze_layer(vs_ref[:], stacked)[0, :, 0, :]
+        out_ref[0] = _attend(
+            q_ref[0], k_all, v_all,
+            ks_all.astype(jnp.float32) * scale,
+            vs_all.astype(jnp.float32), n, out_ref.dtype,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if stacked else 1,
