@@ -139,3 +139,50 @@ def test_sharded_train_step_runs_and_learns(params):
         p, s, loss = step(p, s, tokens)
         losses.append(float(loss))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+class TestQuantizedSharding:
+    """Quantized params under TP: specs match the quantized pytree, scale
+    groups align with shard boundaries, outputs equal the unsharded run."""
+
+    def test_quantized_params_shard_and_decode(self, rng):
+        from zig_gpt2_tpu.quant import quantize as q
+
+        tp = 4
+        # Fresh params: the module fixture's leaves may have been donated
+        # (deleted) by the train-step tests.
+        fresh = gpt2.init_params(CFG, jax.random.PRNGKey(0))
+        padded, cfg = psh.pad_for_tp(fresh, CFG, tp)
+        assert cfg.spmd
+        qparams = q.quantize_params(padded, mode="int8", tp=tp)
+        mesh = pmesh.make_mesh(2, tp)
+        shardings = pmesh.param_shardings(mesh, cfg, qparams)
+        qsharded = jax.device_put(qparams, shardings)  # structure must match
+
+        tokens = jnp.asarray(rng.integers(0, 500, (2, 12)), jnp.int32)
+        lengths = jnp.asarray([12, 8], jnp.int32)
+        # Unsharded quantized oracle (spmd flag off for the single-device run
+        # is irrelevant on CPU — both take the jnp paths).
+        cache0 = gpt2.init_kv_cache(cfg, 2, 32)
+        cache0, logits0 = gpt2.prefill(qparams, cache0, tokens, lengths, cfg)
+
+        cache = jax.device_put(
+            gpt2.init_kv_cache(cfg, 2, 32), pmesh.cache_shardings(mesh, cfg)
+        )
+        prefill = jax.jit(lambda p, c, t, l: gpt2.prefill(p, c, t, l, cfg))
+        cache, logits = prefill(qsharded, cache, tokens, lengths)
+        assert_logits_close(np.asarray(logits), np.asarray(logits0))
+
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        decode = jax.jit(lambda p, c, t: gpt2.decode_step(p, c, t, cfg))
+        cache, logits2 = decode(qsharded, cache, tok)
+        cache0, logits02 = gpt2.decode_step(qparams, cache0, tok, cfg)
+        assert_logits_close(np.asarray(logits2), np.asarray(logits02))
+
+    def test_tp_aware_group_size(self):
+        from zig_gpt2_tpu.quant import quantize as q
+
+        # K=768 row-parallel over tp=8: per-shard K=96 needs G=32.
+        assert q.pick_group_size(768, "int8", tp=8) == 32
+        assert q.pick_group_size(768, "int8", tp=1) == 128
+        assert q.pick_group_size(4096, "int4", tp=8) == 128

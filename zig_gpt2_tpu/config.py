@@ -29,6 +29,11 @@ class GPTConfig:
     # masked to MASK_VALUE before sampling. None = unpadded.
     padded_heads: Optional[int] = None
     padded_vocab_size: Optional[int] = None
+    # True when the model runs GSPMD-sharded over a mesh (set by
+    # parallel.sharding.pad_for_tp). Pallas custom calls cannot be
+    # partitioned by GSPMD, so kernel dispatch falls back to the jnp
+    # formulations, which partition head-/column-parallel for free.
+    spmd: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -34,17 +34,20 @@ from zig_gpt2_tpu.config import GPTConfig
 from zig_gpt2_tpu.ops import layers as ops
 
 
-def _use_fused_attention() -> bool:
-    """Fused Pallas decode attention on TPU (ZG2_FUSED_ATTN=0 to disable)."""
+def _use_fused_attention(config: GPTConfig) -> bool:
+    """Fused Pallas decode attention on TPU (ZG2_FUSED_ATTN=0 to disable).
+    Disabled under an SPMD mesh (config.spmd) — GSPMD cannot partition the
+    custom call; the jnp path partitions head-parallel for free."""
     return (
         jax.default_backend() == "tpu"
         and os.environ.get("ZG2_FUSED_ATTN", "1") != "0"
+        and not config.spmd
     )
 
 
-def _decode_attention(q, caches, idx, length):
+def _decode_attention(q, caches, idx, length, config):
     """Decode attention over the stacked (L, B, H, S, D) cache at layer idx."""
-    if _use_fused_attention():
+    if _use_fused_attention(config):
         from zig_gpt2_tpu.ops import attention as fused
 
         return fused.decode_attention_fused(
@@ -55,8 +58,8 @@ def _decode_attention(q, caches, idx, length):
     return ops.decode_attention(q, k, v, length)
 
 
-def _decode_attention_quant(q, caches, idx, length):
-    if _use_fused_attention():
+def _decode_attention_quant(q, caches, idx, length, config):
+    if _use_fused_attention(config):
         from zig_gpt2_tpu.ops import attention as fused
 
         return fused.decode_attention_quant_fused(
@@ -176,18 +179,18 @@ def init_kv_cache(
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+def _linear(p: Dict[str, jax.Array], x: jax.Array, spmd: bool = False) -> jax.Array:
     """Apply a linear layer's param dict; dispatches to the fused
     dequant+matmul path when the weight is quantized."""
     if "qw" in p or "qw4" in p:
         from zig_gpt2_tpu.quant import quantize as q
 
-        return q.quantized_linear(p, x)
+        return q.quantized_linear(p, x, spmd=spmd)
     return ops.linear(x, p["w"], p.get("b"))
 
 
 def _qkv(
-    attn_p: Params, h: jax.Array, n_heads: int
+    attn_p: Params, h: jax.Array, n_heads: int, spmd: bool = False
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Project to per-head Q/K/V: (..., E) -> three (..., H, D).
 
@@ -199,9 +202,9 @@ def _qkv(
         return t.reshape(*t.shape[:-1], n_heads, t.shape[-1] // n_heads)
 
     return (
-        heads(_linear(attn_p["wq"], h)),
-        heads(_linear(attn_p["wk"], h)),
-        heads(_linear(attn_p["wv"], h)),
+        heads(_linear(attn_p["wq"], h, spmd)),
+        heads(_linear(attn_p["wk"], h, spmd)),
+        heads(_linear(attn_p["wv"], h, spmd)),
     )
 
 
@@ -219,15 +222,15 @@ def _block_prefill(
     """
     B, T, _ = x.shape
     h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
-    q, k, v = _qkv(bp["attn"], h, config.attn_heads)  # (B, T, H, D)
+    q, k, v = _qkv(bp["attn"], h, config.attn_heads, config.spmd)  # (B, T, H, D)
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
     attn = ops.causal_attention(q, k, v, length_mask=length_mask)
     attn = attn.swapaxes(1, 2).reshape(B, T, -1)
-    x = x + _linear(bp["attn"]["c_proj"], attn)
+    x = x + _linear(bp["attn"]["c_proj"], attn, config.spmd)
     h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
-    h = _linear(bp["mlp"]["c_fc"], h)
+    h = _linear(bp["mlp"]["c_fc"], h, config.spmd)
     h = ops.gelu(h)
-    x = x + _linear(bp["mlp"]["c_proj"], h)
+    x = x + _linear(bp["mlp"]["c_proj"], h, config.spmd)
     return x, k, v
 
 
@@ -273,7 +276,9 @@ def _layer_slice(tree: Params, idx: jax.Array) -> Params:
     )
 
 
-def _linear_at(p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array) -> jax.Array:
+def _linear_at(
+    p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array, config: GPTConfig
+) -> jax.Array:
     """Apply layer ``idx`` of a stacked linear. On TPU the quantized GEMV
     path feeds the Pallas kernel the WHOLE stacked weight with the layer
     selected in the kernel's index map — XLA never materializes a per-layer
@@ -284,6 +289,7 @@ def _linear_at(p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array) -> jax.Arr
         quantized
         and jax.default_backend() == "tpu"
         and rows <= 64
+        and not config.spmd
     ):
         from zig_gpt2_tpu.quant import kernels
 
@@ -328,9 +334,9 @@ def _block_decode(
     def heads(t):
         return t.reshape(*t.shape[:-1], H, t.shape[-1] // H)
 
-    q = heads(_linear_at(blocks["attn"]["wq"], h, idx))  # (B, H, D)
-    k = heads(_linear_at(blocks["attn"]["wk"], h, idx))
-    v = heads(_linear_at(blocks["attn"]["wv"], h, idx))
+    q = heads(_linear_at(blocks["attn"]["wq"], h, idx, config))  # (B, H, D)
+    k = heads(_linear_at(blocks["attn"]["wk"], h, idx, config))
+    v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
 
     # Append this token's K/V at row `pos` (per batch element). Replaces the
     # reference's append + full-cache transpose (ops.zig:151-158) with an
@@ -343,18 +349,18 @@ def _block_decode(
         caches["v"] = _put_row_stacked(caches["v"], vq, idx, pos)
         caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, pos)
         caches["v_scale"] = _put_scale_stacked(caches["v_scale"], vs, idx, pos)
-        attn = _decode_attention_quant(q, caches, idx, pos + 1)
+        attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
     else:
         caches["k"] = _put_row_stacked(caches["k"], k, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], v, idx, pos)
-        attn = _decode_attention(q, caches, idx, pos + 1)
+        attn = _decode_attention(q, caches, idx, pos + 1, config)
     attn = attn.reshape(x.shape[0], -1)
-    x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx)
+    x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config)
     ln2 = _layer_slice(blocks["ln_2"], idx)
     h = ops.layer_norm(x, ln2["w"], ln2["b"], config.layer_norm_eps)
-    h = _linear_at(blocks["mlp"]["c_fc"], h, idx)
+    h = _linear_at(blocks["mlp"]["c_fc"], h, idx, config)
     h = ops.gelu(h)
-    x = x + _linear_at(blocks["mlp"]["c_proj"], h, idx)
+    x = x + _linear_at(blocks["mlp"]["c_proj"], h, idx, config)
     return x, caches
 
 
@@ -363,7 +369,7 @@ def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
     vocab is padded for sharding, the padded tail is masked so sampling can
     never pick a phantom token."""
     if "lm_head" in params:  # untied / quantized override
-        logits = _linear(params["lm_head"], x)
+        logits = _linear(params["lm_head"], x, config.spmd)
     else:
         logits = jnp.dot(x, params["wte"].T, preferred_element_type=x.dtype)
     if config.padded_vocab_size is not None:

@@ -42,23 +42,72 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
-def param_pspecs(config: GPTConfig) -> Dict[str, Any]:
+def _linear_specs(p: Optional[Dict[str, Any]], role: str) -> Dict[str, Any]:
+    """Specs for one (possibly quantized) linear param dict.
+
+    role "col": shard the output (last) axis — payload, scales, and bias.
+    role "row": shard the contraction (second-to-last) axis — payload and
+    the (…, K/G, N) group scales shard identically (group boundaries stay
+    intact: K/tp is a multiple of the group size for every GPT-2 dim and
+    every tp that divides it); bias replicated.
+    """
+    col = role == "col"
+    w_spec = P(None, None, MODEL_AXIS) if col else P(None, MODEL_AXIS, None)
+    b_spec = P(None, MODEL_AXIS) if col else P(None, None)
+    if p is None:  # float layout, no params tree supplied
+        return {"w": w_spec, "b": b_spec}
+    out = {}
+    for name in p:
+        if name in ("w", "qw", "qw4", "scale"):
+            out[name] = w_spec
+        elif name == "b":
+            out[name] = b_spec
+        else:
+            raise ValueError(f"unknown linear param leaf {name!r}")
+    return out
+
+
+def param_pspecs(
+    config: GPTConfig, params: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
     """PartitionSpec pytree matching models.gpt2 params (leading L axis on
-    block leaves)."""
-    col = {"w": P(None, None, MODEL_AXIS), "b": P(None, MODEL_AXIS)}  # column-parallel
-    row = {"w": P(None, MODEL_AXIS, None), "b": P(None, None)}  # row-parallel
+    block leaves). Pass the actual ``params`` to get specs matching its
+    exact structure — required for quantized layouts ({"qw"/"qw4",
+    "scale", "b"?}) and the untied quantized lm_head."""
+    def lin(role, *path):
+        node = params
+        if node is not None:
+            node = node["blocks"]
+            for k in path:
+                node = node[k]
+        return _linear_specs(node, role)
+
     ln = {"w": P(None, None), "b": P(None, None)}
-    return {
+    specs = {
         "wte": P(MODEL_AXIS, None),  # vocab-sharded; lm_head column-parallel
         "wpe": P(None, None),
         "blocks": {
             "ln_1": ln,
-            "attn": {"wq": col, "wk": col, "wv": col, "c_proj": row},
+            "attn": {
+                "wq": lin("col", "attn", "wq"),
+                "wk": lin("col", "attn", "wk"),
+                "wv": lin("col", "attn", "wv"),
+                "c_proj": lin("row", "attn", "c_proj"),
+            },
             "ln_2": ln,
-            "mlp": {"c_fc": col, "c_proj": row},
+            "mlp": {
+                "c_fc": lin("col", "mlp", "c_fc"),
+                "c_proj": lin("row", "mlp", "c_proj"),
+            },
         },
         "ln_f": {"w": P(None), "b": P(None)},
     }
+    if params is not None and "lm_head" in params:
+        # Untied (quantized) lm_head (E, V): vocab(column)-parallel, 2-D.
+        specs["lm_head"] = {
+            name: P(None, MODEL_AXIS) for name in params["lm_head"]
+        }
+    return specs
 
 
 def cache_pspecs(config: GPTConfig, quant: Optional[str] = None) -> Dict[str, Any]:
@@ -82,8 +131,8 @@ def _named(mesh: Mesh, pspecs):
     )
 
 
-def param_shardings(mesh: Mesh, config: GPTConfig) -> Dict[str, Any]:
-    return _named(mesh, param_pspecs(config))
+def param_shardings(mesh: Mesh, config: GPTConfig, params=None) -> Dict[str, Any]:
+    return _named(mesh, param_pspecs(config, params))
 
 
 def cache_shardings(mesh: Mesh, config: GPTConfig) -> Dict[str, Any]:
@@ -92,4 +141,4 @@ def cache_shardings(mesh: Mesh, config: GPTConfig) -> Dict[str, Any]:
 
 def shard_params(params, mesh: Mesh, config: GPTConfig):
     """Place a (host or single-device) param pytree onto the mesh."""
-    return jax.device_put(params, param_shardings(mesh, config))
+    return jax.device_put(params, param_shardings(mesh, config, params))

@@ -45,18 +45,17 @@ def pad_for_tp(
     """Pad params + config so head/vocab axes divide ``tp``. Idempotent; a
     no-op (returns inputs unchanged) when everything already divides."""
     heads, vocab = padded_dims(config, tp)
-    if heads == config.attn_heads and vocab == config.vocab_rows:
-        if config.n_embed % tp or (4 * config.n_embed) % tp:
-            raise ValueError(f"n_embed {config.n_embed} not divisible by tp={tp}")
-        return params, config
     if config.n_embed % tp or (4 * config.n_embed) % tp:
         raise ValueError(f"n_embed {config.n_embed} not divisible by tp={tp}")
+    if heads == config.attn_heads and vocab == config.vocab_rows:
+        return params, dataclasses.replace(config, spmd=tp > 1 or config.spmd)
 
     D = config.head_dim
     new_cfg = dataclasses.replace(
         config,
         padded_heads=heads if heads != config.n_heads else config.padded_heads,
         padded_vocab_size=vocab if vocab != config.vocab_size else config.padded_vocab_size,
+        spmd=tp > 1 or config.spmd,
     )
     a_old = config.attn_heads * D
     a_new = heads * D

@@ -43,12 +43,18 @@ import jax.numpy as jnp
 _GROUP_CANDIDATES = (128, 64, 32)
 
 
-def pick_group_size(k: int, mode: str) -> int:
-    need = (k, k // 2) if mode == "int4" else (k,)
+def pick_group_size(k: int, mode: str, tp: int = 1) -> int:
+    """Largest group size compatible with K (and K/2 for the int4 half-split
+    packing). ``tp``: when the layer will be row-parallel over a model axis
+    of that degree, groups must also divide the per-shard K so scale-group
+    boundaries align with shard boundaries."""
+    need = [k, k // tp]
+    if mode == "int4":
+        need += [k // 2, k // (2 * tp)]
     for g in _GROUP_CANDIDATES:
         if all(n % g == 0 for n in need):
             return g
-    raise ValueError(f"no valid group size for K={k} ({mode})")
+    raise ValueError(f"no valid group size for K={k} ({mode}, tp={tp})")
 
 
 def is_quantized(p: Dict[str, Any]) -> bool:
@@ -56,13 +62,14 @@ def is_quantized(p: Dict[str, Any]) -> bool:
 
 
 def quantize_linear(
-    p: Dict[str, Any], mode: str = "int8", group_size: Optional[int] = None
+    p: Dict[str, Any], mode: str = "int8", group_size: Optional[int] = None,
+    tp: int = 1,
 ) -> Dict[str, Any]:
     """Quantize one linear layer's ``{"w", "b"?}`` dict. ``w`` is
     (..., K, N); K is the contraction axis (ops/layers.py convention)."""
     w = jnp.asarray(p["w"])
     k = w.shape[-2]
-    g = group_size or pick_group_size(k, mode)
+    g = group_size or pick_group_size(k, mode, tp)
     if k % g:
         raise ValueError(f"K={k} not divisible by group_size={g}")
     qmax = 7.0 if mode == "int4" else 127.0
@@ -137,11 +144,24 @@ def _grouped_matmul_jnp(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Arr
     return jnp.sum(partial * scale[:, None, :].astype(jnp.float32), axis=0)
 
 
-def quantized_linear(p: Dict[str, Any], x: jax.Array) -> jax.Array:
+def _under_spmd() -> bool:
+    """True when tracing under a non-trivial mesh — GSPMD can't partition
+    the Pallas custom call, so the sharded path uses the jnp formulation
+    (per-shard Pallas via shard_map is the manual alternative)."""
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        return bool(get_abstract_mesh().axis_names)
+    except Exception:
+        return False
+
+
+def quantized_linear(p: Dict[str, Any], x: jax.Array, spmd: bool = False) -> jax.Array:
     """y = x @ dequant(qw) (+ b), without materializing the dequantized
     weight. Dispatches to the fused Pallas kernel on TPU (the analogue of the
     reference's cblas_sgemm Linear hot path, ops.zig:30-45, at 1/4–1/8 the
-    HBM traffic); jnp grouped matmul elsewhere."""
+    HBM traffic); jnp grouped matmul elsewhere. Pass spmd=True when tracing
+    under GSPMD sharding (the custom call cannot be partitioned)."""
     q = p.get("qw")
     int4 = q is None
     if int4:
@@ -151,7 +171,7 @@ def quantized_linear(p: Dict[str, Any], x: jax.Array) -> jax.Array:
     n = q.shape[-1]
     rows = x2.shape[0]
 
-    if jax.default_backend() == "tpu" and rows <= 64:
+    if jax.default_backend() == "tpu" and rows <= 64 and not spmd and not _under_spmd():
         # Decode / small-batch GEMV: memory-bound on the weight read — the
         # fused kernel streams int8/int4 straight from HBM.
         from zig_gpt2_tpu.quant import kernels
@@ -186,6 +206,7 @@ def quantize_params(
     mode: str = "int8",
     group_size: Optional[int] = None,
     quantize_lm_head: bool = True,
+    tp: int = 1,
 ) -> Dict[str, Any]:
     """Quantize every block linear (and the lm_head) of a gpt2 param pytree.
 
@@ -200,7 +221,10 @@ def quantize_params(
     blocks = dict(params["blocks"])
     for mod, name in _BLOCK_LINEARS:
         sub = dict(blocks[mod])
-        sub[name] = quantize_linear(sub[name], mode, group_size)
+        # Row-parallel layers (c_proj) shard the contraction axis under TP:
+        # their scale groups must divide the per-shard K (parallel/mesh.py).
+        layer_tp = tp if name == "c_proj" else 1
+        sub[name] = quantize_linear(sub[name], mode, group_size, tp=layer_tp)
         blocks[mod] = sub
     params["blocks"] = blocks
     if quantize_lm_head and "lm_head" not in params:
