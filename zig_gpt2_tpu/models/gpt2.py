@@ -340,7 +340,11 @@ def _block_decode(
 
     # Append this token's K/V at row `pos` (per batch element). Replaces the
     # reference's append + full-cache transpose (ops.zig:151-158) with an
-    # in-place dynamic update in the already-(H, S, D) layout.
+    # in-place O(row) dynamic update. (A Pallas aliased-DMA appender was
+    # prototyped to stop XLA relayout-copying the cache around the custom
+    # calls, but Mosaic DMA windows must tile-align in BOTH minor dims and
+    # head_dim=64 < 128 lanes can never satisfy that — see BENCHMARKS.md
+    # "open issue".)
     caches = dict(caches)
     if "k_scale" in caches:  # INT8 cache: quantize on append
         kq, ks = ops.quantize_kv(k)
