@@ -26,6 +26,9 @@ def main() -> None:
     p.add_argument("--quant", default=None, choices=["int8", "int4"])
     p.add_argument("--kv-quant", default=None, choices=["int8"])
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--mode", default="decode", choices=["decode", "prefill"],
+                   help="decode: KV-cached token loop (default); prefill: "
+                        "whole-prompt throughput")
     args = p.parse_args()
 
     import jax
@@ -54,6 +57,33 @@ def main() -> None:
     rng = np.random.default_rng(0)
     prompts = rng.integers(0, config.vocab_size, (args.batch, args.prompt_len)).astype(np.int32)
     lengths = [args.prompt_len] * args.batch
+
+    if args.mode == "prefill":
+        toks = jnp.asarray(prompts)
+        lens = jnp.asarray(lengths, jnp.int32)
+
+        def run_prefill():
+            _, logits = engine._prefill(engine.params, engine.new_cache(), toks, lens)
+            return np.asarray(logits)  # host sync
+
+        run_prefill()  # warmup/compile
+        best_s = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            run_prefill()
+            best_s = min(best_s, time.perf_counter() - t0)
+        tokens_per_sec = args.batch * args.prompt_len / best_s
+        print(json.dumps({
+            "metric": f"gpt2_{args.model}_{args.dtype}"
+            + (f"_{args.quant}" if args.quant else "")
+            + f"_prefill_b{args.batch}_t{args.prompt_len}_tokens_per_sec",
+            "value": round(tokens_per_sec, 2),
+            "unit": "tokens/sec",
+            # Reference prefill = one full forward per prompt token at
+            # ~28ms each (no batched prefill exists there).
+            "vs_baseline": round(tokens_per_sec / (1000.0 / 28.0), 2),
+        }))
+        return
 
     # Warmup (compiles prefill + scan loop).
     engine.generate_scan(prompts, lengths, args.steps, sampling)

@@ -96,3 +96,22 @@ def test_weight_tying(params, params_np):
     p2["wte"] = params_np["wte"] + 0.01
     bumped = oracle.forward(p2, tokens, CFG)
     assert np.abs(base - bumped).max() > 0
+
+
+def test_remat_forward_and_grads_match(rng):
+    """jax.checkpoint'd blocks must not change values or gradients."""
+    from zig_gpt2_tpu import train
+    from zig_gpt2_tpu.config import GPT2_NANO
+
+    params = gpt2.init_params(GPT2_NANO, jax.random.PRNGKey(3))
+    tokens = jnp.asarray(rng.integers(0, GPT2_NANO.vocab_size, (2, 16)), jnp.int32)
+    logits = gpt2.forward(params, tokens, GPT2_NANO)
+    logits_r = gpt2.forward(params, tokens, GPT2_NANO, remat=True)
+    np.testing.assert_allclose(np.asarray(logits_r), np.asarray(logits), rtol=1e-6)
+
+    g = jax.grad(train.loss_fn)(params, tokens, GPT2_NANO)
+    gr = jax.grad(lambda p, t, c: train.loss_fn(p, t, c, remat=True))(
+        params, tokens, GPT2_NANO
+    )
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)

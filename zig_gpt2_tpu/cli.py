@@ -138,6 +138,9 @@ def main(argv=None) -> None:
                 "prompt": rid_to_prompt[req.rid],
                 "completion": encoder.decode(req.generated),
             }))
+        if args.metrics:
+            print(json.dumps(batcher.metrics.as_dict(args.batch_slots)),
+                  file=sys.stderr)
         return
 
     engine = InferenceEngine(

@@ -390,11 +390,16 @@ def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
 # Entry points
 # ---------------------------------------------------------------------------
 
-def forward(params: Params, tokens: jax.Array, config: GPTConfig) -> jax.Array:
+def forward(
+    params: Params, tokens: jax.Array, config: GPTConfig, remat: bool = False
+) -> jax.Array:
     """Full-sequence forward: (B, T) int32 tokens -> (B, T, vocab) logits.
 
     Used for perplexity eval, training, and end-to-end parity with the
     PyTorch oracle (reference: generate_nano_gpt.py full-sequence forward).
+    ``remat=True`` checkpoints each block (recompute activations in the
+    backward pass — the standard HBM-for-FLOPs trade under scan, letting
+    training batches grow ~L× beyond what stored activations allow).
     """
     B, T = tokens.shape
     pos = jnp.arange(T)
@@ -404,6 +409,8 @@ def forward(params: Params, tokens: jax.Array, config: GPTConfig) -> jax.Array:
         x, _, _ = _block_prefill(x, bp, config, length_mask=None)
         return x, None
 
+    if remat:
+        step = jax.checkpoint(step)
     x, _ = jax.lax.scan(step, x, params["blocks"])
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     return _lm_head(params, x, config)

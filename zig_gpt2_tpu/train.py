@@ -20,13 +20,16 @@ from zig_gpt2_tpu.models import gpt2
 
 
 def loss_fn(
-    params, tokens: jax.Array, config: GPTConfig, mask: Optional[jax.Array] = None
+    params, tokens: jax.Array, config: GPTConfig,
+    mask: Optional[jax.Array] = None, remat: bool = False,
 ) -> jax.Array:
     """Mean next-token cross-entropy over (B, T) token batches.
 
     ``mask``: optional (B, T-1) validity mask for padded batches.
+    ``remat``: checkpoint each transformer block (jax.checkpoint) — trades
+    recompute FLOPs for activation HBM (SURVEY-mandated remat support).
     """
-    logits = gpt2.forward(params, tokens[:, :-1], config)
+    logits = gpt2.forward(params, tokens[:, :-1], config, remat=remat)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -42,17 +45,19 @@ def make_optimizer(
 
 
 def train_step(
-    params, opt_state, tokens, config: GPTConfig, optimizer
+    params, opt_state, tokens, config: GPTConfig, optimizer, remat: bool = False
 ) -> Tuple[Any, Any, jax.Array]:
-    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, config)
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, config, remat=remat)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
 
 
-def make_train_step(config: GPTConfig, optimizer):
+def make_train_step(config: GPTConfig, optimizer, remat: bool = False):
     """Jitted train step with params/opt_state donated. With sharded inputs
     (parallel.mesh.param_shardings + tokens on the data axis) XLA/GSPMD emits
     the TP collectives; gradients reduce over the data axis automatically."""
-    fn = functools.partial(train_step, config=config, optimizer=optimizer)
+    fn = functools.partial(
+        train_step, config=config, optimizer=optimizer, remat=remat
+    )
     return jax.jit(fn, donate_argnums=(0, 1))
