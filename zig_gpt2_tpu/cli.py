@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-tokens", type=int, default=None, help="default: run to the context window end, like the reference")
+    p.add_argument("--stop", default=None, metavar="TOK",
+                   help="stop token: an id, or 'eos' for GPT-2's <|endoftext|> "
+                        "(the reference never stops — that stays the default)")
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--mesh", default=None, help="tensor-parallel mesh shape, e.g. '1x8' (data x model)")
     p.add_argument("--profile", default=None, metavar="DIR", help="write an XProf trace to DIR")
@@ -117,6 +120,15 @@ def main(argv=None) -> None:
 
     kv_quant = "int8" if args.kv_quant else None
     sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k, seed=args.seed)
+    stop_tokens = []
+    if args.stop is not None:
+        if args.stop == "eos":
+            eos = encoder.vocab.get("<|endoftext|>")
+            if eos is None:
+                sys.exit("error: tokenizer has no <|endoftext|> token")
+            stop_tokens = [eos]
+        else:
+            stop_tokens = [int(args.stop)]
 
     if args.batch_file is not None:
         from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
@@ -129,7 +141,8 @@ def main(argv=None) -> None:
             max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,
         )
         rid_to_prompt = {
-            batcher.submit(encoder.encode(p), args.max_tokens): p for p in prompts
+            batcher.submit(encoder.encode(p), args.max_tokens, stop_tokens): p
+            for p in prompts
         }
         with xprof_trace(args.profile):
             done = batcher.run()
@@ -151,7 +164,8 @@ def main(argv=None) -> None:
     print(args.prompt, end="", flush=True)
     with xprof_trace(args.profile):
         engine.generate_text(
-            args.prompt, args.max_tokens, sampling, stream_to=sys.stdout, metrics=metrics
+            args.prompt, args.max_tokens, sampling, stream_to=sys.stdout,
+            metrics=metrics, stop_tokens=stop_tokens,
         )
     print()
     if args.metrics:

@@ -66,6 +66,10 @@ def _attend(q: jax.Array, k: jax.Array, v: jax.Array,
     score_scale: (H, S) or scalar factor applied to raw scores (carries both
     1/sqrt(D) and the INT8 K scales). prob_scale: None or (H, S) V scales.
     """
+    # All math in f32 on the VPU. (A bf16-multiply variant — exact for the
+    # int8 cache values — fails to lower: the bf16->f32 convert of the 3-D
+    # product is an "unsupported shape cast" in Mosaic, presumably the
+    # (16,128)->(8,128) retiling of a large intermediate.)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     scores = jnp.sum(kf * qf[:, None, :], axis=-1) * score_scale  # (H, S)

@@ -228,6 +228,7 @@ class InferenceEngine:
         sampling: SamplingConfig = SamplingConfig(),
         stream_to=None,
         metrics: Optional[GenerationMetrics] = None,
+        stop_tokens: Sequence[int] = (),
     ) -> str:
         """Prompt string -> generated string, optionally streaming each
         chunk to a file-like object as it is produced (the reference streams
@@ -238,7 +239,9 @@ class InferenceEngine:
         decoder = StreamDecoder(self.encoder)
         pieces: List[str] = []
 
-        for tok in self.generate_iter(ids, max_new_tokens, sampling, metrics=metrics):
+        for tok in self.generate_iter(
+            ids, max_new_tokens, sampling, stop_tokens, metrics=metrics
+        ):
             text = decoder.push(tok)
             if text:
                 pieces.append(text)
