@@ -72,3 +72,72 @@ def test_bf16_io(rng):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+class TestDeferredAppend:
+    """Deferred-append attention (old cache + self-term) must equal
+    append-then-attend over length+1 rows."""
+
+    def test_fp_deferred_matches_appended(self, rng):
+        B, H, S, D = 2, 4, 16, 64
+        q, k, v = _mk(rng, B, H, S, D)
+        k_new = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        pos = jnp.asarray([5, 11], jnp.int32)
+        # Oracle: write the row, attend over pos+1 rows.
+        def put(c, r):
+            return jax.vmap(
+                lambda cb, rb, pb: jax.lax.dynamic_update_slice_in_dim(
+                    cb, rb[:, None, :], pb, axis=1)
+            )(c, r, pos)
+        want = ops.decode_attention(q, put(k, k_new), put(v, v_new), pos + 1)
+        got = fused.decode_attention_deferred_fused(
+            q, k_new, v_new, k, v, pos, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_quant_deferred_matches_appended(self, rng):
+        B, H, S, D = 2, 3, 16, 64
+        q, kf, vf = _mk(rng, B, H, S, D)
+        kq, ks = ops.quantize_kv(kf)
+        vq, vs = ops.quantize_kv(vf)
+        knew = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        vnew = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        knq, kns = ops.quantize_kv(knew)
+        vnq, vns = ops.quantize_kv(vnew)
+        pos = jnp.asarray([7, 13], jnp.int32)
+
+        def put(c, r):
+            return jax.vmap(
+                lambda cb, rb, pb: jax.lax.dynamic_update_slice_in_dim(
+                    cb, rb[:, None, :].astype(cb.dtype), pb, axis=1)
+            )(c, r, pos)
+
+        def puts(c, r):
+            return jax.vmap(
+                lambda cb, rb, pb: jax.lax.dynamic_update_slice_in_dim(
+                    cb, rb[:, None], pb, axis=1)
+            )(c, r, pos)
+
+        want = ops.decode_attention_quant(
+            q, put(kq, knq), puts(ks, kns), put(vq, vnq), puts(vs, vns), pos + 1
+        )
+        got = fused.decode_attention_quant_deferred_fused(
+            q, knq, kns, vnq, vns, kq, ks, vq, vs, pos, interpret=True
+        )
+        # Oracle uses bf16-operand einsums, kernel pure f32 — small noise.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=5e-3)
+
+    def test_empty_cache_self_only(self, rng):
+        """pos=0: output must be exactly v_new (softmax over one element)."""
+        B, H, S, D = 1, 2, 8, 64
+        q, k, v = _mk(rng, B, H, S, D)
+        k_new = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        got = fused.decode_attention_deferred_fused(
+            q, k_new, v_new, k, v, jnp.asarray([0], jnp.int32), interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v_new),
+                                   rtol=1e-6, atol=1e-6)

@@ -346,18 +346,40 @@ def _block_decode(
     # head_dim=64 < 128 lanes can never satisfy that — see BENCHMARKS.md
     # "open issue".)
     caches = dict(caches)
+    deferred = _use_fused_attention(config)
     if "k_scale" in caches:  # INT8 cache: quantize on append
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
+        if deferred:
+            # Attend over the OLD cache + an explicit self-term for this
+            # token (mathematically identical; the kernel never reads the
+            # appended row, so the appends below have no reader in this
+            # step and stay true in-place updates — appending first forced
+            # XLA into copy-on-write of the cache around the custom call).
+            from zig_gpt2_tpu.ops import attention as fused
+
+            attn = fused.decode_attention_quant_deferred_fused(
+                q, kq, ks, vq, vs,
+                caches["k"], caches["k_scale"], caches["v"], caches["v_scale"],
+                pos, layer=idx,
+            )
         caches["k"] = _put_row_stacked(caches["k"], kq, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], vq, idx, pos)
         caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, pos)
         caches["v_scale"] = _put_scale_stacked(caches["v_scale"], vs, idx, pos)
-        attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
+        if not deferred:
+            attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
     else:
+        if deferred:
+            from zig_gpt2_tpu.ops import attention as fused
+
+            attn = fused.decode_attention_deferred_fused(
+                q, k, v, caches["k"], caches["v"], pos, layer=idx
+            )
         caches["k"] = _put_row_stacked(caches["k"], k, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], v, idx, pos)
-        attn = _decode_attention(q, caches, idx, pos + 1, config)
+        if not deferred:
+            attn = _decode_attention(q, caches, idx, pos + 1, config)
     attn = attn.reshape(x.shape[0], -1)
     x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config)
     ln2 = _layer_slice(blocks["ln_2"], idx)
