@@ -18,8 +18,11 @@ import jax  # noqa: E402
 # The container's axon sitecustomize force-registers the TPU platform and
 # rewrites jax_platforms to "axon,cpu" at interpreter start, so the env var
 # alone can't opt out — override the config after import (before any backend
-# is initialized).
-jax.config.update("jax_platforms", "cpu")
+# is initialized). ZG2_TEST_TPU=1 keeps the real chip for the TPU-only
+# kernel tests (e.g. tests/test_sampling_kernel.py — native PRNG has no
+# CPU lowering); run those serially, one TPU process at a time.
+if os.environ.get("ZG2_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # FP32 parity with the PyTorch oracle requires un-fused, highest-precision
 # matmuls (SURVEY.md §7 hard part 1).

@@ -1,0 +1,69 @@
+"""Fused Gumbel-max sampling kernel: distributional + determinism tests.
+
+TPU-only: pltpu.prng_seed has no CPU/interpret lowering, so these skip in
+the CPU suite and run via ``pytest tests/test_sampling_kernel.py`` on a
+machine with a chip (scripts/verify drives them; bench.py exercises the
+kernel every run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="native TPU PRNG only"
+)
+
+
+def test_matches_categorical_distribution(rng):
+    """Empirical frequencies must match softmax(logits/T) (chi-square-ish)."""
+    V, T = 16, 0.7
+    logits = jnp.asarray(rng.standard_normal((1, V)) * 2.0, jnp.float32)
+    n = 4000
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, n), jnp.int32)
+    # Draw n samples by batching the same logits row with different seeds.
+    draws = sample_categorical(
+        jnp.broadcast_to(logits, (n, V)), seeds, T
+    )
+    counts = np.bincount(np.asarray(draws), minlength=V)
+    p = jax.nn.softmax(logits[0] / T)
+    expected = np.asarray(p) * n
+    # Allow 5-sigma per bucket on the multinomial std.
+    std = np.sqrt(expected * (1 - np.asarray(p)) + 1e-9)
+    assert np.all(np.abs(counts - expected) < 5 * std + 5), (
+        counts, expected.round(1))
+
+
+def test_deterministic_per_seed(rng):
+    logits = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    seeds = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    a = sample_categorical(logits, seeds, 1.0)
+    b = sample_categorical(logits, seeds, 1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = sample_categorical(logits, seeds + 7, 1.0)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_masked_vocab_never_sampled(rng):
+    """MASK_VALUE'd (padded-vocab) columns must never win."""
+    from zig_gpt2_tpu.ops.layers import MASK_VALUE
+
+    V, real = 32, 20
+    logits = np.zeros((8, V), np.float32)
+    logits[:, real:] = MASK_VALUE
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, 8), jnp.int32)
+    draws = np.asarray(sample_categorical(
+        jnp.asarray(logits), seeds, 0.8
+    ))
+    assert (draws < real).all(), draws
+
+
+def test_low_temperature_concentrates(rng):
+    logits = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, 16), jnp.int32)
+    draws = sample_categorical(logits, seeds, 0.001)
+    np.testing.assert_array_equal(
+        np.asarray(draws), np.asarray(jnp.argmax(logits, -1))
+    )

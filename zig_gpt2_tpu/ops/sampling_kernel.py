@@ -1,0 +1,83 @@
+"""Pallas TPU kernel: fused temperature-scale + categorical sampling.
+
+The reference samples with ``logits /= temp; softmax; weightedIndex``
+(main.zig:198-207). On TPU the softmax is unnecessary: Gumbel-max sampling
+(``argmax(logits/T + G)`` with G ~ Gumbel(0,1)) draws from exactly the same
+categorical distribution with one pass over the logits and no
+normalization. This kernel fuses the temperature scale, the Gumbel noise
+(native per-core PRNG — ``pltpu.prng_random_bits``, far cheaper than
+XLA's counter-based threefry), and the argmax, per batch row.
+
+Uniform variates come from the standard bit trick: the top 23 random bits
+become the mantissa of a float in [1, 2), minus 1 → U[0, 1); a tiny offset
+keeps log(u) finite.
+
+Dispatch (runtime/sampling.py): TPU + temperature > 0 + no top-k. The
+jax.random path remains for top-k, greedy, CPU, and SPMD tracing. NOTE the
+two paths draw from the same distribution but different random streams —
+each is deterministic under its own seed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "interpret"))
+def sample_categorical(
+    logits: jax.Array,
+    seed: jax.Array,
+    temperature: float,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, V) logits -> (B,) int32 token ids ~ softmax(logits/temperature).
+
+    seed: (B,) int32 — independent per-row streams (callers derive them from
+    a jax.random key; see runtime/sampling.py)."""
+    b, v = logits.shape
+    inv_t = 1.0 / float(temperature)
+    rows = 8  # sublane-aligned row block; VMEM per program = 8V f32 * ~3
+    n_blocks = pl.cdiv(b, rows)
+
+    def kernel(seed_ref, x_ref, out_ref):
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[i])
+        bits = pltpu.prng_random_bits((rows, v))
+        mantissa = jax.lax.shift_right_logical(
+            pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9)
+        )
+        u = pltpu.bitcast(
+            mantissa | jnp.uint32(0x3F800000), jnp.float32
+        ) - 1.0  # U[0, 1)
+        gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+        z = x_ref[:].astype(jnp.float32) * inv_t + gumbel  # (rows, V)
+        m = jnp.max(z, axis=-1, keepdims=True)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (rows, v), 1)
+        out_ref[:] = jnp.min(jnp.where(z == m, ids, v), axis=-1, keepdims=True)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((rows, v), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    # One seed per row-block; each block's native PRNG stream covers its
+    # rows independently.
+    block_seeds = seed.astype(jnp.int32)[::rows]
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        interpret=interpret,
+    )(block_seeds, logits)
+    return out[:, 0]

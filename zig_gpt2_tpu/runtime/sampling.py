@@ -21,14 +21,34 @@ def sample(
     key: jax.Array,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    use_kernel: bool = True,
 ) -> jax.Array:
     """Draw next tokens from (B, vocab) logits -> (B,) int32.
 
     temperature and top_k are static (python) values — they select the traced
     graph, which is how a jitted decode loop wants them.
+
+    On TPU the plain-temperature path uses the fused Pallas Gumbel-max
+    kernel (ops/sampling_kernel.py — native PRNG, no softmax, no threefry);
+    greedy / top-k / CPU use jax.random. Both are exactly categorical and
+    deterministic per seed, but their random streams differ.
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if (
+        use_kernel
+        and top_k is None
+        and jax.default_backend() == "tpu"
+    ):
+        from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
+
+        # Independent per-row seeds derived from the key (one cheap
+        # threefry draw for B scalars; the heavy (B, V) noise comes from
+        # the kernel's native PRNG).
+        seeds = jax.random.randint(
+            key, (logits.shape[0],), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+        )
+        return sample_categorical(logits, seeds, temperature)
     logits = logits.astype(jnp.float32) / temperature
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
