@@ -1,0 +1,56 @@
+"""CLI surface tests (demo mode — no weights, CPU)."""
+
+import json
+
+import pytest
+
+from zig_gpt2_tpu import cli
+
+
+def test_demo_single_prompt(capsys):
+    cli.main(["--demo", "--max-tokens", "4", "--seed", "1", "the quick"])
+    out = capsys.readouterr().out
+    assert out.startswith("the quick")
+    assert len(out) > len("the quick")  # generated something
+
+
+def test_demo_metrics(capsys):
+    cli.main(["--demo", "--max-tokens", "3", "--metrics", "hello"])
+    err = capsys.readouterr().err
+    line = [l for l in err.splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    assert m["generated_tokens"] == 3
+    assert m["tokens_per_sec"] > 0
+
+
+def test_demo_batch_file(tmp_path, capsys):
+    f = tmp_path / "prompts.txt"
+    f.write_text("hello world\nthe quick brown\n")
+    cli.main(["--demo", "--batch-file", str(f), "--batch-slots", "2",
+              "--max-tokens", "3", "--metrics"])
+    captured = capsys.readouterr()
+    lines = [json.loads(l) for l in captured.out.splitlines() if l.strip()]
+    assert {l["prompt"] for l in lines} == {"hello world", "the quick brown"}
+    assert all("completion" in l for l in lines)
+    metrics = json.loads(
+        [l for l in captured.err.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["requests_finished"] == 2
+
+
+def test_missing_prompt_errors():
+    with pytest.raises(SystemExit):
+        cli.main(["--demo"])
+
+
+def test_missing_weights_errors():
+    with pytest.raises(SystemExit):
+        cli.main(["--model", "124M", "--encoder-dir", "/nonexistent", "x"])
+
+
+def test_demo_deterministic_greedy(capsys):
+    cli.main(["--demo", "--max-tokens", "5", "--temp", "0", "abc"])
+    a = capsys.readouterr().out
+    cli.main(["--demo", "--max-tokens", "5", "--temp", "0", "abc"])
+    b = capsys.readouterr().out
+    assert a == b
