@@ -26,9 +26,15 @@ def main() -> None:
     p.add_argument("--quant", default=None, choices=["int8", "int4"])
     p.add_argument("--kv-quant", default=None, choices=["int8"])
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--mode", default="decode", choices=["decode", "prefill"],
+    p.add_argument("--mode", default="decode",
+                   choices=["decode", "prefill", "serve"],
                    help="decode: KV-cached token loop (default); prefill: "
-                        "whole-prompt throughput")
+                        "whole-prompt throughput; serve: continuous-batching "
+                        "scheduler with mixed-length requests")
+    p.add_argument("--requests", type=int, default=64,
+                   help="request count for --mode serve")
+    p.add_argument("--decode-chunk", type=int, default=8,
+                   help="on-device decode steps per host sync (--mode serve)")
     args = p.parse_args()
 
     import jax
@@ -57,6 +63,49 @@ def main() -> None:
     rng = np.random.default_rng(0)
     prompts = rng.integers(0, config.vocab_size, (args.batch, args.prompt_len)).astype(np.int32)
     lengths = [args.prompt_len] * args.batch
+
+    if args.mode == "serve":
+        from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
+
+        def run_serve():
+            batcher = ContinuousBatcher(
+                config, params, batch_size=args.batch,
+                max_seq=args.prompt_len + args.steps,
+                prompt_buckets=(args.prompt_len,),
+                sampling=SamplingConfig(temperature=0.8, seed=0),
+                kv_quant=args.kv_quant,
+                decode_chunk=args.decode_chunk,
+            )
+            r = np.random.default_rng(1)
+            for _ in range(args.requests):
+                n = int(r.integers(args.prompt_len // 2, args.prompt_len))
+                batcher.submit(
+                    list(r.integers(0, config.vocab_size, n)),
+                    max_new_tokens=int(r.integers(args.steps // 2, args.steps)),
+                )
+            t0 = time.perf_counter()
+            done = batcher.run()
+            wall = time.perf_counter() - t0
+            toks = sum(len(q.generated) for q in done)
+            return toks / wall, batcher.metrics
+
+        run_serve()  # warmup/compile
+        best, metrics = 0.0, None
+        for _ in range(args.repeats):
+            tps, m = run_serve()
+            if tps > best:
+                best, metrics = tps, m
+        print(json.dumps({
+            "metric": f"gpt2_{args.model}_{args.dtype}"
+            + (f"_{args.quant}" if args.quant else "")
+            + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+            + f"_serve_slots{args.batch}_tokens_per_sec",
+            "value": round(best, 2),
+            "unit": "tokens/sec",
+            "vs_baseline": round(best / (1000.0 / 28.0), 2),
+            "slot_utilization": round(metrics.slot_utilization(args.batch), 3),
+        }))
+        return
 
     if args.mode == "prefill":
         toks = jnp.asarray(prompts)

@@ -132,3 +132,42 @@ def test_int8_kv_cache_batching(params, rng):
         batcher.submit(list(rng.integers(0, 64, 5)), max_new_tokens=4)
     done = batcher.run()
     assert len(done) == 3 and all(len(r.generated) == 4 for r in done)
+
+
+class TestChunkedDecode:
+    """decode_chunk > 1: greedy output must be identical to chunk=1."""
+
+    @pytest.mark.parametrize("chunk", [2, 4])
+    def test_greedy_parity_chunked(self, params, rng, chunk):
+        prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, n))
+                   for n in (3, 7, 5)]
+        want = _reference_outputs(params, prompts, max_new=7)
+
+        batcher = ContinuousBatcher(
+            GPT2_NANO, params, batch_size=2, max_seq=64,
+            prompt_buckets=(16,), sampling=GREEDY, decode_chunk=chunk,
+        )
+        rids = [batcher.submit(p, max_new_tokens=7) for p in prompts]
+        done = batcher.run()
+        by_rid = {r.rid: r.generated for r in done}
+        for rid, w in zip(rids, want):
+            assert by_rid[rid] == w, f"request {rid} diverged (chunk={chunk})"
+
+    def test_stop_token_mid_chunk(self, params, rng):
+        prompt = list(rng.integers(0, 64, 4))
+        probe = ContinuousBatcher(
+            GPT2_NANO, params, batch_size=1, max_seq=64, prompt_buckets=(16,),
+            sampling=GREEDY,
+        )
+        probe.submit(prompt, max_new_tokens=6)
+        seq = probe.run()[0].generated
+        stop = seq[2]  # stop on the 3rd greedy token (may repeat earlier)
+        expected = seq[: seq.index(stop)]
+
+        batcher = ContinuousBatcher(
+            GPT2_NANO, params, batch_size=1, max_seq=64, prompt_buckets=(16,),
+            sampling=GREEDY, decode_chunk=4,
+        )
+        batcher.submit(prompt, max_new_tokens=10, stop_tokens=[stop])
+        done = batcher.run()
+        assert done[0].generated == expected  # truncated mid-chunk, stop dropped

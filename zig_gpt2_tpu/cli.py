@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "continuous-batching scheduler instead of a single prompt")
     p.add_argument("--batch-slots", type=int, default=8,
                    help="decode slots for --batch-file serving")
+    p.add_argument("--decode-chunk", type=int, default=1,
+                   help="on-device decode steps per host sync in batch mode")
     return p
 
 
@@ -139,6 +141,7 @@ def main(argv=None) -> None:
         batcher = ContinuousBatcher(
             config, params, batch_size=args.batch_slots,
             max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,
+            decode_chunk=args.decode_chunk,
         )
         rid_to_prompt = {
             batcher.submit(encoder.encode(p), args.max_tokens, stop_tokens): p

@@ -7,9 +7,11 @@ slots alive forever and streams *requests* through *slots*:
 - ``submit`` queues a request; free slots are filled by a single-sequence
   bucketed prefill whose KV rows are spliced into the shared cache at the
   slot's batch index (one jitted ``dynamic_update_slice`` per leaf).
-- every ``step`` runs ONE fused decode+sample step for the whole batch and
-  syncs exactly one (B,) int32 token vector to the host, where per-request
-  bookkeeping (stop tokens, budgets, retirement, refill) happens.
+- every ``step`` runs ``decode_chunk`` fused decode+sample sub-steps for
+  the whole batch on device and syncs one (chunk, B) int32 token block to
+  the host, where per-request bookkeeping (stop tokens, budgets,
+  retirement, refill) happens. chunk > 1 amortizes the host dispatch+sync
+  latency at the cost of chunk-granular stop checks.
 - finished slots are immediately refilled from the queue — sequences enter
   and exit without ever stalling the other slots (pad-and-mask slots,
   SURVEY.md §7 hard part 5).
@@ -104,6 +106,7 @@ class ContinuousBatcher:
         kv_quant: Optional[str] = None,
         cache_dtype=None,
         on_token: Optional[Callable[[int, int], None]] = None,
+        decode_chunk: int = 1,
     ):
         self.config = config
         self.params = params
@@ -112,63 +115,82 @@ class ContinuousBatcher:
         self.sampling = sampling
         self.kv_quant = kv_quant
         self.on_token = on_token  # callback(rid, token) for streaming
+        # Tokens decoded on-device per host round-trip. >1 amortizes the
+        # dispatch+sync latency (essential when the host<->TPU link is slow);
+        # stop/budget checks then happen with chunk granularity and a slot
+        # retiring mid-chunk discards its remaining chunk tokens.
+        self.decode_chunk = max(int(decode_chunk), 1)
         self.prompt_buckets = tuple(
             b for b in (prompt_buckets or (32, 128, 512, config.context_size))
             if b <= self.max_seq
         ) or (self.max_seq,)
         cache_dtype = cache_dtype or params["wte"].dtype
 
+        # decode_chunk-1 extra rows of headroom: a slot that hits its budget
+        # mid-chunk keeps consuming garbage rows until the chunk ends
+        # (dynamic_update_slice clamps at the edge, but headroom keeps even
+        # those writes off real data).
+        cache_rows = self.max_seq + (self.decode_chunk - 1)
         self.cache = gpt2.init_kv_cache(
-            config, batch_size, self.max_seq, dtype=cache_dtype, quant=kv_quant
+            config, batch_size, cache_rows, dtype=cache_dtype, quant=kv_quant
         )
         self._slot_cache_proto = functools.partial(
-            gpt2.init_kv_cache, config, 1, self.max_seq, dtype=cache_dtype,
+            gpt2.init_kv_cache, config, 1, cache_rows, dtype=cache_dtype,
             quant=kv_quant,
         )
         self._key = jax.random.PRNGKey(sampling.seed)
 
-        self._prefill1 = jax.jit(
-            functools.partial(gpt2.prefill, config=config), donate_argnums=(1,)
-        )
-        self._sample1 = jax.jit(
-            functools.partial(
-                sample, temperature=sampling.temperature, top_k=sampling.top_k
+        def prefill_insert(params, cache, slot_init, tokens, length, idx,
+                           feed, key):
+            """Admission fused into ONE dispatch with NO host sync:
+            single-sequence prefill, splice into the shared cache at slot
+            ``idx`` (length is reset by the splice itself), sample the first
+            token straight into the device-resident feed vector."""
+            slot_cache, logits = gpt2.prefill(
+                params, slot_init, tokens, length, config
             )
-        )
-
-        def decode_sample(params, cache, tokens, key):
-            cache, logits = gpt2.decode_step(params, cache, tokens, config)
-            key, sub = jax.random.split(key)
-            toks = sample(logits, sub, sampling.temperature, sampling.top_k)
-            return cache, toks, key
-
-        self._decode = jax.jit(decode_sample, donate_argnums=(1,))
-
-        def insert_slot(cache, slot_cache, idx):
             out = {}
             for name, leaf in cache.items():
                 axis = 0 if name == "length" else 1
                 out[name] = jax.lax.dynamic_update_slice_in_dim(
                     leaf, slot_cache[name].astype(leaf.dtype), idx, axis=axis
                 )
-            return out
+            key, sub = jax.random.split(key)
+            first = sample(logits, sub, sampling.temperature, sampling.top_k)
+            feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx, axis=0)
+            return out, feed, key
 
-        self._insert = jax.jit(insert_slot, donate_argnums=(0,))
+        self._prefill_insert = jax.jit(
+            prefill_insert, donate_argnums=(1, 2, 6)
+        )
 
-        def reset_length(cache, idx):
-            length = jax.lax.dynamic_update_slice_in_dim(
-                cache["length"], jnp.zeros((1,), jnp.int32), idx, axis=0
+        chunk = self.decode_chunk
+
+        def decode_sample(params, cache, tokens, key):
+            def body(carry, _):
+                cache, tok, key = carry
+                cache, logits = gpt2.decode_step(params, cache, tok, config)
+                key, sub = jax.random.split(key)
+                nxt = sample(logits, sub, sampling.temperature, sampling.top_k)
+                return (cache, nxt, key), tok  # emit the token just consumed
+
+            (cache, nxt, key), consumed = jax.lax.scan(
+                body, (cache, tokens, key), None, length=chunk
             )
-            return dict(cache, length=length)
+            return cache, consumed, nxt, key  # consumed: (chunk, B)
 
-        self._reset = jax.jit(reset_length, donate_argnums=(0,))
+        self._decode = jax.jit(decode_sample, donate_argnums=(1, 2))
 
         self.metrics = BatcherMetrics()
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.queue: Deque[Request] = deque()
         self.finished: List[Request] = []
         self._next_rid = 0
-        self._tokens = np.zeros((batch_size,), np.int32)  # next feed per slot
+        # Next feed token per slot — lives ON DEVICE: admissions write into
+        # it inside prefill_insert and decode chunks return the next vector,
+        # so steady state costs one dispatch + one (chunk, B) sync per chunk
+        # and admissions cost one dispatch and NO sync.
+        self._tokens = jnp.zeros((batch_size,), jnp.int32)
 
     # -- client API -----------------------------------------------------------
 
@@ -196,44 +218,45 @@ class ContinuousBatcher:
     def pending(self) -> int:
         return len(self.queue) + sum(r is not None for r in self.slots)
 
-    def step(self) -> Dict[int, int]:
-        """Admit queued requests, run one batched decode step, return
-        {rid: token} emitted this step."""
+    def step(self) -> Dict[int, List[int]]:
+        """Admit queued requests, run one batched decode chunk
+        (``decode_chunk`` sub-steps on device), return {rid: [tokens]}
+        emitted this step."""
         self._admit()
         active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return {}
 
         t0 = time.perf_counter()
-        cache, toks_dev, self._key = self._decode(
-            self.params, self.cache, jnp.asarray(self._tokens), self._key
+        cache, consumed_dev, self._tokens, self._key = self._decode(
+            self.params, self.cache, self._tokens, self._key
         )
         self.cache = cache
-        toks = np.asarray(toks_dev)  # the one host sync per step
+        consumed = np.asarray(consumed_dev)  # (chunk, B) — the one host sync
         self.metrics.decode_s += time.perf_counter() - t0
-        self.metrics.steps += 1
-        self.metrics.occupied_slot_steps += len(active)
+        self.metrics.steps += self.decode_chunk
+        self.metrics.occupied_slot_steps += len(active) * self.decode_chunk
 
-        emitted: Dict[int, int] = {}
+        emitted: Dict[int, List[int]] = {}
         for i, req in active:
-            fed = int(self._tokens[i])  # token just consumed by the model
-            if fed in req.stop_tokens:  # stop tokens are not emitted
-                self._retire(i, req)
-                continue
-            req.generated.append(fed)
-            self.metrics.tokens_emitted += 1
-            emitted[req.rid] = fed
-            if self.on_token is not None:
-                self.on_token(req.rid, fed)
-            budget_hit = (
-                req.max_new_tokens is not None
-                and len(req.generated) >= req.max_new_tokens
-            )
-            full = len(req.prompt_ids) + len(req.generated) >= self.max_seq
-            if budget_hit or full:
-                self._retire(i, req)
-            else:
-                self._tokens[i] = int(toks[i])
+            for j in range(self.decode_chunk):
+                fed = int(consumed[j, i])  # token consumed at sub-step j
+                if fed in req.stop_tokens:  # stop tokens are not emitted
+                    self._retire(i, req)
+                    break
+                req.generated.append(fed)
+                self.metrics.tokens_emitted += 1
+                emitted.setdefault(req.rid, []).append(fed)
+                if self.on_token is not None:
+                    self.on_token(req.rid, fed)
+                budget_hit = (
+                    req.max_new_tokens is not None
+                    and len(req.generated) >= req.max_new_tokens
+                )
+                full = len(req.prompt_ids) + len(req.generated) >= self.max_seq
+                if budget_hit or full:
+                    self._retire(i, req)
+                    break
         return emitted
 
     def run(self) -> List[Request]:
@@ -256,26 +279,27 @@ class ContinuousBatcher:
             bucket = _bucket(n, self.prompt_buckets)
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :n] = req.prompt_ids
-            slot_cache, logits = self._prefill1(
+            self.cache, self._tokens, self._key = self._prefill_insert(
                 self.params,
+                self.cache,
                 self._slot_cache_proto(),
                 jnp.asarray(toks),
                 jnp.asarray([n], jnp.int32),
+                i,
+                self._tokens,
+                self._key,
             )
-            self.cache = self._insert(self.cache, slot_cache, i)
-            self._key, sub = jax.random.split(self._key)
-            first = int(self._sample1(logits, sub)[0])
             req.slot = i
             self.slots[i] = req
-            self._tokens[i] = first
             self.metrics.prefills += 1
             self.metrics.prefill_s += time.perf_counter() - t0
 
     def _retire(self, slot: int, req: Request) -> None:
+        # No device work: an idle slot keeps decoding garbage that the host
+        # discards (dynamic_update_slice clamping keeps it in bounds), and
+        # the next admission's cache splice resets its length.
         req.done = True
         req.slot = None
         self.slots[slot] = None
-        self._tokens[slot] = 0
-        self.cache = self._reset(self.cache, slot)
         self.metrics.requests_finished += 1
         self.finished.append(req)
