@@ -150,3 +150,30 @@ class TestDebugTools:
         with nan_checks():
             assert jax.config.jax_debug_nans
         assert not jax.config.jax_debug_nans
+
+
+class TestTopP:
+    def test_top_p_restricts_support(self, rng):
+        """With a peaked distribution and small top_p, only the top token
+        can be drawn; with top_p=1.0 the tail is reachable."""
+        import jax.numpy as jnp
+
+        from zig_gpt2_tpu.runtime.sampling import sample
+
+        logits = jnp.asarray([[5.0, 4.5, 0.0, -1.0, -2.0]] * 64, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        toks = np.asarray(sample(logits, key, temperature=1.0, top_p=0.5))
+        assert set(toks.tolist()) <= {0}, toks  # p(top1)=0.62 > 0.5 nucleus
+        toks2 = np.asarray(sample(logits, key, temperature=1.0, top_p=0.95))
+        assert set(toks2.tolist()) <= {0, 1}
+        toks3 = np.asarray(sample(logits, jax.random.PRNGKey(3), 2.0, None, 1.0))
+        assert len(set(toks3.tolist())) > 2  # full support at top_p=1
+
+    def test_top_p_with_top_k_compose(self, rng):
+        import jax.numpy as jnp
+
+        from zig_gpt2_tpu.runtime.sampling import sample
+
+        logits = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+        toks = sample(logits, jax.random.PRNGKey(1), 1.0, top_k=8, top_p=0.9)
+        assert toks.shape == (32,)

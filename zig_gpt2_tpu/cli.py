@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-quant", action="store_true", help="INT8 KV cache")
     p.add_argument("--temp", type=float, default=0.8, help="sampling temperature (reference default 0.8)")
     p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--top-p", type=float, default=None, help="nucleus sampling mass")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-tokens", type=int, default=None, help="default: run to the context window end, like the reference")
     p.add_argument("--stop", default=None, metavar="TOK",
@@ -121,7 +122,8 @@ def main(argv=None) -> None:
             params = q.quantize_params(params, mode=args.quant)
 
     kv_quant = "int8" if args.kv_quant else None
-    sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k, seed=args.seed)
+    sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k,
+                              top_p=args.top_p, seed=args.seed)
     stop_tokens = []
     if args.stop is not None:
         if args.stop == "eos":

@@ -112,6 +112,7 @@ class SamplingConfig:
 
     temperature: float = 0.8
     top_k: Optional[int] = None
+    top_p: Optional[float] = None
     seed: int = 0
 
     @property

@@ -39,8 +39,8 @@ import jax.numpy as jnp
 # Candidate group sizes, best first. 64 fits every GPT-2 dim; INT4's
 # half-split packing additionally needs K/2 % G == 0, which for the 1.5B
 # model's K=1600 projections drops the group to 32 (finer groups are strictly
-# more accurate, so this only helps PPL).
-_GROUP_CANDIDATES = (128, 64, 32)
+# more accurate, so this only helps PPL). 16/8 exist for tiny test configs.
+_GROUP_CANDIDATES = (128, 64, 32, 16, 8)
 
 
 def pick_group_size(k: int, mode: str, tp: int = 1) -> int:

@@ -156,7 +156,8 @@ class ContinuousBatcher:
                     leaf, slot_cache[name].astype(leaf.dtype), idx, axis=axis
                 )
             key, sub = jax.random.split(key)
-            first = sample(logits, sub, sampling.temperature, sampling.top_k)
+            first = sample(logits, sub, sampling.temperature,
+                           sampling.top_k, sampling.top_p)
             feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx, axis=0)
             return out, feed, key
 
@@ -171,7 +172,8 @@ class ContinuousBatcher:
                 cache, tok, key = carry
                 cache, logits = gpt2.decode_step(params, cache, tok, config)
                 key, sub = jax.random.split(key)
-                nxt = sample(logits, sub, sampling.temperature, sampling.top_k)
+                nxt = sample(logits, sub, sampling.temperature,
+                             sampling.top_k, sampling.top_p)
                 return (cache, nxt, key), tok  # emit the token just consumed
 
             (cache, nxt, key), consumed = jax.lax.scan(

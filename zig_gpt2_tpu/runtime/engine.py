@@ -136,13 +136,14 @@ class InferenceEngine:
         )
 
     @functools.lru_cache(maxsize=8)
-    def _sample_step(self, temperature: float, top_k: Optional[int]):
+    def _sample_step(self, temperature: float, top_k: Optional[int],
+                     top_p: Optional[float]):
         """Fused decode+sample step, jitted once per sampling config."""
 
         def step(params, cache, token, key):
             cache, logits = gpt2.decode_step(params, cache, token, self.config)
             key, sub = jax.random.split(key)
-            return cache, sample(logits, sub, temperature, top_k), key
+            return cache, sample(logits, sub, temperature, top_k, top_p), key
 
         return jax.jit(step, donate_argnums=(1,))
 
@@ -203,11 +204,13 @@ class InferenceEngine:
         )
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
-        token = sample(logits, sub, sampling.temperature, sampling.top_k)
+        token = sample(logits, sub, sampling.temperature, sampling.top_k,
+                       sampling.top_p)
         token.block_until_ready()
         metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
-        step = self._sample_step(sampling.temperature, sampling.top_k)
+        step = self._sample_step(sampling.temperature, sampling.top_k,
+                                 sampling.top_p)
         stops = set(stop_tokens)
         t_decode = time.perf_counter()
         for _ in range(steps):
@@ -259,13 +262,14 @@ class InferenceEngine:
     # -- fully-on-device generation (benchmark / batch path) ------------------
 
     @functools.lru_cache(maxsize=8)
-    def _scan_generate(self, n_steps: int, temperature: float, top_k: Optional[int]):
+    def _scan_generate(self, n_steps: int, temperature: float,
+                       top_k: Optional[int], top_p: Optional[float]):
         def run(params, cache, token, key):
             def body(carry, _):
                 cache, token, key = carry
                 cache, logits = gpt2.decode_step(params, cache, token, self.config)
                 key, sub = jax.random.split(key)
-                token = sample(logits, sub, temperature, top_k)
+                token = sample(logits, sub, temperature, top_k, top_p)
                 return (cache, token, key), token
 
             (cache, token, key), tokens = jax.lax.scan(
@@ -296,7 +300,9 @@ class InferenceEngine:
         )
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
-        token = sample(logits, sub, sampling.temperature, sampling.top_k)
-        run = self._scan_generate(n_steps, sampling.temperature, sampling.top_k)
+        token = sample(logits, sub, sampling.temperature, sampling.top_k,
+                       sampling.top_p)
+        run = self._scan_generate(n_steps, sampling.temperature,
+                                  sampling.top_k, sampling.top_p)
         _, tokens = run(self.params, cache, token, key)
         return np.asarray(tokens).T

@@ -21,6 +21,7 @@ def sample(
     key: jax.Array,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     use_kernel: bool = True,
 ) -> jax.Array:
     """Draw next tokens from (B, vocab) logits -> (B,) int32.
@@ -38,6 +39,7 @@ def sample(
     if (
         use_kernel
         and top_k is None
+        and top_p is None
         and jax.default_backend() == "tpu"
     ):
         from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
@@ -53,4 +55,16 @@ def sample(
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        # Nucleus sampling: keep the smallest prefix of the sorted
+        # distribution whose mass reaches top_p (the token crossing the
+        # threshold stays included).
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p  # first token always kept
+        cutoff = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
