@@ -161,8 +161,11 @@ class ContinuousBatcher:
             feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx, axis=0)
             return out, feed, key
 
+        # slot_init is NOT donated: its buffers can't alias the spliced
+        # outputs (XLA warns and ignores the donation); the main cache and
+        # the feed vector are.
         self._prefill_insert = jax.jit(
-            prefill_insert, donate_argnums=(1, 2, 6)
+            prefill_insert, donate_argnums=(1, 6)
         )
 
         chunk = self.decode_chunk
