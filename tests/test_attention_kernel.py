@@ -141,3 +141,19 @@ class TestDeferredAppend:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(v_new),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_multi_chunk_online_softmax(rng):
+    """S > _SC exercises the online-softmax chunk recurrence."""
+    B, H, S, D = 1, 2, 600, 64  # 3 chunks of 256/256/88
+    q, k, v = _mk(rng, B, H, S, D)
+    length = jnp.asarray([517], jnp.int32)
+    want = ops.decode_attention(q, k, v, length)
+    got = fused.decode_attention_fused(q, k, v, length, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    kq, ks = ops.quantize_kv(k)
+    vq, vs = ops.quantize_kv(v)
+    want_q = ops.decode_attention_quant(q, kq, ks, vq, vs, length)
+    got_q = fused.decode_attention_quant_fused(q, kq, ks, vq, vs, length, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q), rtol=2e-2, atol=5e-3)

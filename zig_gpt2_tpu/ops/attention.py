@@ -54,31 +54,57 @@ def _softmax_masked(scores: jax.Array, length: jax.Array) -> jax.Array:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+# S-chunk size for the online-softmax loops: bounds the f32 temporaries to
+# (H, _SC, D) regardless of cache length (whole-S f32 temps blow the 16 MB
+# VMEM budget at S >= ~512 for 25 heads). Multiple of 128 so every chunk
+# boundary is tile-aligned.
+_SC = 256
+
+
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array,
             score_scale: jax.Array, prob_scale, length, out_dtype) -> jax.Array:
-    """All-heads decode attention on the VPU.
+    """All-heads decode attention on the VPU, online-softmax over S-chunks.
 
     q: (H, D), k/v: (H, S, D) — query length is 1, so q·Kᵀ is a
     broadcast-multiply + lane reduction and probs·V a broadcast-multiply +
-    sublane reduction. The MXU sees none of it: per-head (1,D)·(D,S) dots
-    are latency-bound systolic passes (profiled 2x slower than this), while
-    the VPU crunches the whole (H, S, D) slab in a few vectorized passes.
+    sublane reduction per chunk, with the standard running (max, denom, acc)
+    rescaling between chunks (flash-attention recurrence, trivially exact
+    for one query). The MXU sees none of it: per-head GEMVs are
+    latency-bound systolic passes (profiled 2x slower than this).
     score_scale: (H, S) or scalar factor applied to raw scores (carries both
-    1/sqrt(D) and the INT8 K scales). prob_scale: None or (H, S) V scales.
+    1/sqrt(D) and the INT8 K scales). prob_scale: None or (H, S) V scales —
+    they weight the V sum only, never the softmax denominator.
+
+    All math in f32 on the VPU. (A bf16-multiply variant — exact for the
+    int8 cache values — fails to lower: the bf16->f32 convert of the 3-D
+    product is an "unsupported shape cast" in Mosaic.)
     """
-    # All math in f32 on the VPU. (A bf16-multiply variant — exact for the
-    # int8 cache values — fails to lower: the bf16->f32 convert of the 3-D
-    # product is an "unsupported shape cast" in Mosaic, presumably the
-    # (16,128)->(8,128) retiling of a large intermediate.)
+    h, s_total, d = k.shape
     qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    scores = jnp.sum(kf * qf[:, None, :], axis=-1) * score_scale  # (H, S)
-    probs = _softmax_masked(scores, length)
-    if prob_scale is not None:
-        probs = probs * prob_scale
-    vf = v.astype(jnp.float32)
-    out = jnp.sum(probs[:, :, None] * vf, axis=1)  # (H, D)
-    return out.astype(out_dtype)
+    m = jnp.full((h, 1), MASK_VALUE, jnp.float32)
+    den = jnp.zeros((h, 1), jnp.float32)
+    acc = jnp.zeros((h, d), jnp.float32)
+    for c0 in range(0, s_total, _SC):
+        sc_len = min(_SC, s_total - c0)
+        kc = jax.lax.slice_in_dim(k, c0, c0 + sc_len, axis=1).astype(jnp.float32)
+        scores = jnp.sum(kc * qf[:, None, :], axis=-1)  # (H, Sc)
+        if hasattr(score_scale, "ndim") and getattr(score_scale, "ndim", 0) == 2:
+            scores = scores * jax.lax.slice_in_dim(score_scale, c0, c0 + sc_len, axis=1)
+        else:
+            scores = scores * score_scale
+        ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (h, sc_len), 1)
+        valid = ids < length
+        scores = jnp.where(valid, scores, MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # (H, Sc)
+        den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
+        if prob_scale is not None:
+            e = e * jax.lax.slice_in_dim(prob_scale, c0, c0 + sc_len, axis=1)
+        vc = jax.lax.slice_in_dim(v, c0, c0 + sc_len, axis=1).astype(jnp.float32)
+        acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
+        m = m_new
+    return (acc / den).astype(out_dtype)
 
 
 def _attend_with_self(
@@ -91,36 +117,44 @@ def _attend_with_self(
 
     Mathematically identical to append-then-attend over length+1 rows, but
     the kernel never reads the appended row — so the XLA cache append and
-    this custom call have no read-after-write dependency, and the append
-    can stay a true in-place update (appending first forced XLA into
-    copy-on-write of the cache around the custom call: ~2.9 ms/step of pure
-    copies at 1.5B B=16).
+    this custom call have no read-after-write dependency. Same online
+    S-chunked recurrence as _attend, seeded with the self term: the running
+    max starts at the self score, the denominator at exp(0) = 1, and the
+    accumulator at (self V scale ·) v_new.
 
     Shapes: q/k_new/v_new (H, D); k/v (H, S, D); scales (H, S) / (H, 1).
-    The joint softmax is computed without concatenating the self column:
-    shared max, separate exp sums.
     """
+    h, s_total, d = k.shape
     qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    h, s, _ = k.shape
-    scores = jnp.sum(kf * qf[:, None, :], axis=-1) * score_scale      # (H, S)
     self_s = jnp.sum(
         k_new.astype(jnp.float32) * qf, axis=-1, keepdims=True
-    ) * self_score_scale                                               # (H, 1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (h, s), 1)
-    valid = ids < length
-    scores = jnp.where(valid, scores, MASK_VALUE)
-    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), self_s)
-    e_old = jnp.where(valid, jnp.exp(scores - m), 0.0)                 # (H, S)
-    e_self = jnp.exp(self_s - m)                                       # (H, 1)
-    denom = jnp.sum(e_old, axis=-1, keepdims=True) + e_self
-    if prob_scale is not None:
-        e_old = e_old * prob_scale
-        e_self = e_self * self_prob_scale
-    vf = v.astype(jnp.float32)
-    out = jnp.sum(e_old[:, :, None] * vf, axis=1)
-    out = (out + e_self * v_new.astype(jnp.float32)) / denom           # (H, D)
-    return out.astype(out_dtype)
+    ) * self_score_scale                                   # (H, 1)
+    m = self_s
+    den = jnp.ones((h, 1), jnp.float32)                    # exp(self - m) = 1
+    acc = v_new.astype(jnp.float32)
+    if self_prob_scale is not None:
+        acc = acc * self_prob_scale
+    for c0 in range(0, s_total, _SC):
+        sc_len = min(_SC, s_total - c0)
+        kc = jax.lax.slice_in_dim(k, c0, c0 + sc_len, axis=1).astype(jnp.float32)
+        scores = jnp.sum(kc * qf[:, None, :], axis=-1)
+        if hasattr(score_scale, "ndim") and getattr(score_scale, "ndim", 0) == 2:
+            scores = scores * jax.lax.slice_in_dim(score_scale, c0, c0 + sc_len, axis=1)
+        else:
+            scores = scores * score_scale
+        ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (h, sc_len), 1)
+        valid = ids < length
+        scores = jnp.where(valid, scores, MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
+        if prob_scale is not None:
+            e = e * jax.lax.slice_in_dim(prob_scale, c0, c0 + sc_len, axis=1)
+        vc = jax.lax.slice_in_dim(v, c0, c0 + sc_len, axis=1).astype(jnp.float32)
+        acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
+        m = m_new
+    return (acc / den).astype(out_dtype)
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -151,11 +185,15 @@ def _cache_spec(h, s, d, stacked):
 
 
 def _scale_spec(h, s, stacked):
+    """Scale-plane block over the RAW (…, H, S) arrays. (An earlier version
+    reshaped to (…, H, 1, S) to slice per-head rows — that inserted size-1
+    sublane dim forced XLA to materialize an 8x-padded operand copy of both
+    scale planes per layer, ~2.9 ms/step each at 1.5B B=16.)"""
     if stacked:
-        return pl.BlockSpec((1, 1, h, 1, s),
-                            lambda i, ln, idx: (idx[0], i, 0, 0, 0),
+        return pl.BlockSpec((1, 1, h, s),
+                            lambda i, ln, idx: (idx[0], i, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, 1, s), lambda i, ln: (i, 0, 0, 0),
+    return pl.BlockSpec((1, h, s), lambda i, ln: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -246,8 +284,8 @@ def decode_attention_quant_fused(
         n = len_ref[pl.program_id(0)]
         k_all = _squeeze_layer(k_ref[:], stacked)[0]           # (H, S, D) int8
         v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        ks_all = _squeeze_layer(ks_ref[:], stacked)[0, :, 0, :]  # (H, S)
-        vs_all = _squeeze_layer(vs_ref[:], stacked)[0, :, 0, :]
+        ks_all = _squeeze_layer(ks_ref[:], stacked)[0]  # (H, S)
+        vs_all = _squeeze_layer(vs_ref[:], stacked)[0]
         out_ref[0] = _attend(
             q_ref[0], k_all, v_all,
             ks_all.astype(jnp.float32) * scale,
@@ -264,16 +302,10 @@ def decode_attention_quant_fused(
         ],
         out_specs=_q_spec(h, d, stacked),
     )
-    if stacked:
-        ks_in = k_scale[:, :, :, None, :]
-        vs_in = v_scale[:, :, :, None, :]
-    else:
-        ks_in = k_scale[:, :, None, :]
-        vs_in = v_scale[:, :, None, :]
     args = [_lengths_for(q, length)]
     if stacked:
         args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    args += [q, k_cache, ks_in, v_cache, vs_in]
+    args += [q, k_cache, k_scale, v_cache, v_scale]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -387,8 +419,8 @@ def decode_attention_quant_deferred_fused(
         n = len_ref[pl.program_id(0)]
         k_all = _squeeze_layer(k_ref[:], stacked)[0]
         v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        ks_all = _squeeze_layer(ks_ref[:], stacked)[0, :, 0, :].astype(jnp.float32)
-        vs_all = _squeeze_layer(vs_ref[:], stacked)[0, :, 0, :].astype(jnp.float32)
+        ks_all = _squeeze_layer(ks_ref[:], stacked)[0].astype(jnp.float32)
+        vs_all = _squeeze_layer(vs_ref[:], stacked)[0].astype(jnp.float32)
         ksn = ksn_ref[0].astype(jnp.float32)  # (H, 1)
         vsn = vsn_ref[0].astype(jnp.float32)
         out_ref[0] = _attend_with_self(
@@ -408,18 +440,12 @@ def decode_attention_quant_deferred_fused(
         ],
         out_specs=_q_spec(h, d, stacked),
     )
-    if stacked:
-        ks_in = k_scale[:, :, :, None, :]
-        vs_in = v_scale[:, :, :, None, :]
-    else:
-        ks_in = k_scale[:, :, None, :]
-        vs_in = v_scale[:, :, None, :]
     args = [_lengths_for(q, length)]
     if stacked:
         args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
     args += [
         q, k_new, ks_new[..., None], v_new, vs_new[..., None],
-        k_cache, ks_in, v_cache, vs_in,
+        k_cache, k_scale, v_cache, v_scale,
     ]
     return pl.pallas_call(
         kernel,

@@ -37,6 +37,7 @@ import numpy as np
 
 from zig_gpt2_tpu.config import GPTConfig, SamplingConfig
 from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.runtime.engine import cache_formats
 from zig_gpt2_tpu.runtime.sampling import sample
 
 
@@ -134,6 +135,9 @@ class ContinuousBatcher:
         self.cache = gpt2.init_kv_cache(
             config, batch_size, cache_rows, dtype=cache_dtype, quant=kv_quant
         )
+        self._cache_fmt = None if config.spmd else cache_formats(self.cache)
+        if self._cache_fmt is not None:
+            self.cache = jax.tree.map(jax.device_put, self.cache, self._cache_fmt)
         self._slot_cache_proto = functools.partial(
             gpt2.init_kv_cache, config, 1, cache_rows, dtype=cache_dtype,
             quant=kv_quant,
@@ -165,7 +169,8 @@ class ContinuousBatcher:
         # outputs (XLA warns and ignores the donation); the main cache and
         # the feed vector are.
         self._prefill_insert = jax.jit(
-            prefill_insert, donate_argnums=(1, 6)
+            prefill_insert, donate_argnums=(1, 6),
+            out_shardings=(self._cache_fmt, None, None),
         )
 
         chunk = self.decode_chunk
@@ -184,7 +189,10 @@ class ContinuousBatcher:
             )
             return cache, consumed, nxt, key  # consumed: (chunk, B)
 
-        self._decode = jax.jit(decode_sample, donate_argnums=(1, 2))
+        self._decode = jax.jit(
+            decode_sample, donate_argnums=(1, 2),
+            out_shardings=(self._cache_fmt, None, None, None),
+        )
 
         self.metrics = BatcherMetrics()
         self.slots: List[Optional[Request]] = [None] * batch_size

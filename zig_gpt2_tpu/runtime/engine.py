@@ -32,6 +32,26 @@ from zig_gpt2_tpu.models import gpt2
 from zig_gpt2_tpu.runtime.sampling import sample
 
 
+def cache_formats(cache_template):
+    """Explicit DEFAULT-layout formats for the KV-cache leaves (TPU,
+    single-device). XLA's layout assignment otherwise picks an S-minor
+    entry/exit layout for the (…, S, D=64) caches (it minimizes tile
+    padding) while the loop body needs the default D-minor layout for the
+    Pallas custom calls — producing full-cache relayout copies at every
+    step boundary (measured 47% of the 1.5B B=16 step). Pinning the
+    boundary to the default layout deletes them. Returns None off-TPU."""
+    if jax.default_backend() != "tpu":
+        return None
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    sh = SingleDeviceSharding(jax.devices()[0])
+    return jax.tree.map(
+        lambda x: Format(Layout(major_to_minor=tuple(range(x.ndim))), sh),
+        cache_template,
+    )
+
+
 class StreamDecoder:
     """Incremental detokenizer that never emits partial UTF-8 sequences.
 
@@ -119,21 +139,36 @@ class InferenceEngine:
             b for b in (prompt_buckets or (32, 128, 512, config.context_size))
             if b <= self.max_seq
         ) or (self.max_seq,)
-        self._prefill = jax.jit(
-            functools.partial(gpt2.prefill, config=config), donate_argnums=(1,)
-        )
         self.kv_quant = kv_quant
         # wte is always a float leaf even when the linears are quantized.
         self.cache_dtype = cache_dtype or params["wte"].dtype
+        self._cache_fmt = None
+        if not config.spmd:
+            self._cache_fmt = cache_formats(
+                jax.eval_shape(
+                    lambda: gpt2.init_kv_cache(
+                        config, batch_size, self.max_seq,
+                        dtype=self.cache_dtype, quant=kv_quant,
+                    )
+                )
+            )
+        self._prefill = jax.jit(
+            functools.partial(gpt2.prefill, config=config),
+            donate_argnums=(1,),
+            out_shardings=(self._cache_fmt, None),
+        )
 
     def new_cache(self) -> gpt2.KVCache:
-        return gpt2.init_kv_cache(
+        cache = gpt2.init_kv_cache(
             self.config,
             self.batch_size,
             self.max_seq,
             dtype=self.cache_dtype,
             quant=self.kv_quant,
         )
+        if self._cache_fmt is not None:
+            cache = jax.tree.map(jax.device_put, cache, self._cache_fmt)
+        return cache
 
     @functools.lru_cache(maxsize=8)
     def _sample_step(self, temperature: float, top_k: Optional[int],
@@ -145,7 +180,8 @@ class InferenceEngine:
             key, sub = jax.random.split(key)
             return cache, sample(logits, sub, temperature, top_k, top_p), key
 
-        return jax.jit(step, donate_argnums=(1,))
+        return jax.jit(step, donate_argnums=(1,),
+                       out_shardings=(self._cache_fmt, None, None))
 
     # -- streaming generation -------------------------------------------------
 
@@ -277,7 +313,8 @@ class InferenceEngine:
             )
             return cache, tokens  # tokens: (n_steps, B)
 
-        return jax.jit(run, donate_argnums=(1,))
+        return jax.jit(run, donate_argnums=(1,),
+                       out_shardings=(self._cache_fmt, None))
 
     def generate_scan(
         self,
