@@ -1,32 +1,45 @@
-"""Pallas TPU kernel: fused single-token decode attention over the KV cache.
+"""Pallas TPU kernels: fused single-token decode attention over the KV cache.
 
-One kernel per batch-element grid cell computes the whole decode-attention
-pipeline — scores = q·Kᵀ/√D, length-mask, f32 softmax, out = probs·V — for
-every head, with the (H, S, D) K/V tiles streamed HBM→VMEM once and nothing
-round-tripping through HBM in between. The head loop is a static Python
-unroll (H ≤ 25 for the GPT-2 family): per head one NT dot (1,D)·(S,D)ᵀ, a
-masked f32 softmax, and one NN dot (1,S)·(S,D), all MXU/VPU-resident.
+Flash-decode structure: the grid is (batch, S-chunks); each grid step streams
+one (H, _SC, D) K/V chunk HBM→VMEM and folds it into running online-softmax
+state — max, denominator, and weighted-V accumulator — kept in VMEM scratch
+(TPU grid steps execute sequentially per core, so scratch persists across the
+chunk dimension). The last chunk writes the normalized output. Chunking is
+what bounds VMEM: whole-S blocks for the (…, S, D=64) cache pad D to 128
+lanes and blow the 16 MB scoped budget beyond ctx ≈ 512.
+
+The math is all VPU: query length is 1, so q·Kᵀ is a broadcast-multiply +
+lane reduction and probs·V a broadcast-multiply + sublane reduction per
+chunk. The MXU is deliberately not used — per-head (1, D)·(D, S) GEMVs are
+latency-bound systolic passes (profiled 2x slower), and Mosaic has no
+batched dot_general. All arithmetic in f32 (int8 cache values are exact on
+conversion; a bf16-multiply variant fails to lower: "unsupported shape
+cast").
+
+Four variants from one builder, selected statically:
+- fp / INT8-cache (per-(token, head) f32 scales folded in: the K scale
+  multiplies the score row, the V scale weights the V sum — never the
+  softmax denominator; int8 never materializes in HBM).
+- appended / DEFERRED-append: the deferred variants take the current
+  token's K/V row (and scales) as separate inputs and fold an explicit
+  self-term into the recurrence instead of reading the just-appended cache
+  row — so the XLA cache append has no reader inside the step (the model
+  uses these; see models/gpt2._block_decode).
+
+Stacked mode: the caches are the full scan-stacked (L, B, H, S, D) arrays
+and the traced layer index arrives via scalar prefetch, selecting the layer
+inside the BlockSpec index maps — no per-layer slice materialization.
+NOTE the scale planes are passed RAW as (…, H, S): reshaping them to
+(…, H, 1, S) once cost 8x-padded operand copies every layer (size-1 sublane
+dim).
 
 This replaces the reference's per-head sgemm → softmax → sgemm sequence
 (ops.zig:249-307) and its per-step full-cache transpose (ops.zig:151-158):
-the cache is already (B, H, S, D), the query length is 1, so no causal mask
-is needed — only the valid-length mask (SURVEY.md §7 hard part 4:
-fixed-shape cache + length mask instead of the reference's dynamic slices).
+the cache stays (B, H, S, D) and only the valid-length mask is needed
+(SURVEY.md §7 hard part 4 — fixed shapes + mask instead of dynamic slices).
 
-Block-shape note: grid cells take whole (1, H, S, D) slabs — TPU Pallas
-requires the last two block dims to be sublane/lane-aligned or equal to the
-array dims, which rules out per-head (1, 1, S, D) blocks with H > 1 on the
-second-to-last-of-three axes.
-
-Two variants share the math:
-- ``decode_attention_fused``      — bf16/f32 cache.
-- ``decode_attention_quant_fused``— INT8 cache with per-(token, head) f32
-  scales; dequantization is folded in (K scale multiplies the score row,
-  V scale folds into the probabilities) — int8 never materializes in HBM.
-
-Per-sequence valid lengths arrive via scalar prefetch (SMEM). The jnp
-reference implementations live in ops/layers.py; parity is tested in
-interpret mode (tests/test_attention_kernel.py); dispatch happens in
+The jnp reference implementations live in ops/layers.py; parity is tested
+in interpret mode (tests/test_attention_kernel.py); dispatch happens in
 models/gpt2.
 """
 
@@ -42,119 +55,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zig_gpt2_tpu.ops.layers import MASK_VALUE
 
-
-def _softmax_masked(scores: jax.Array, length: jax.Array) -> jax.Array:
-    """(H, S) f32 scores -> masked, numerically-stable softmax probs,
-    vectorized over the head rows."""
-    h, s = scores.shape
-    ids = jax.lax.broadcasted_iota(jnp.int32, (h, s), 1)
-    scores = jnp.where(ids < length, scores, MASK_VALUE)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+# Inner compute chunk: the in-kernel loop slices the resident block in
+# 128-row steps so the f32 temporaries (lane-padded to 128 like the blocks:
+# ~3 x h*_INNER*128*4 bytes) stay bounded.
+_INNER = 128
+# VMEM budget for the K+V blocks of one grid step (bytes; double-buffered
+# pairs must fit the 16 MB scoped budget together with the ~3 MB of f32
+# inner-loop temporaries).
+_BLOCK_BUDGET = 6 * 1024 * 1024
 
 
-# S-chunk size for the online-softmax loops: bounds the f32 temporaries to
-# (H, _SC, D) regardless of cache length (whole-S f32 temps blow the 16 MB
-# VMEM budget at S >= ~512 for 25 heads). Multiple of 128 so every chunk
-# boundary is tile-aligned.
-_SC = 256
-
-
-def _attend(q: jax.Array, k: jax.Array, v: jax.Array,
-            score_scale: jax.Array, prob_scale, length, out_dtype) -> jax.Array:
-    """All-heads decode attention on the VPU, online-softmax over S-chunks.
-
-    q: (H, D), k/v: (H, S, D) — query length is 1, so q·Kᵀ is a
-    broadcast-multiply + lane reduction and probs·V a broadcast-multiply +
-    sublane reduction per chunk, with the standard running (max, denom, acc)
-    rescaling between chunks (flash-attention recurrence, trivially exact
-    for one query). The MXU sees none of it: per-head GEMVs are
-    latency-bound systolic passes (profiled 2x slower than this).
-    score_scale: (H, S) or scalar factor applied to raw scores (carries both
-    1/sqrt(D) and the INT8 K scales). prob_scale: None or (H, S) V scales —
-    they weight the V sum only, never the softmax denominator.
-
-    All math in f32 on the VPU. (A bf16-multiply variant — exact for the
-    int8 cache values — fails to lower: the bf16->f32 convert of the 3-D
-    product is an "unsupported shape cast" in Mosaic.)
-    """
-    h, s_total, d = k.shape
-    qf = q.astype(jnp.float32)
-    m = jnp.full((h, 1), MASK_VALUE, jnp.float32)
-    den = jnp.zeros((h, 1), jnp.float32)
-    acc = jnp.zeros((h, d), jnp.float32)
-    for c0 in range(0, s_total, _SC):
-        sc_len = min(_SC, s_total - c0)
-        kc = jax.lax.slice_in_dim(k, c0, c0 + sc_len, axis=1).astype(jnp.float32)
-        scores = jnp.sum(kc * qf[:, None, :], axis=-1)  # (H, Sc)
-        if hasattr(score_scale, "ndim") and getattr(score_scale, "ndim", 0) == 2:
-            scores = scores * jax.lax.slice_in_dim(score_scale, c0, c0 + sc_len, axis=1)
-        else:
-            scores = scores * score_scale
-        ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (h, sc_len), 1)
-        valid = ids < length
-        scores = jnp.where(valid, scores, MASK_VALUE)
-        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-        corr = jnp.exp(m - m_new)
-        e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # (H, Sc)
-        den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
-        if prob_scale is not None:
-            e = e * jax.lax.slice_in_dim(prob_scale, c0, c0 + sc_len, axis=1)
-        vc = jax.lax.slice_in_dim(v, c0, c0 + sc_len, axis=1).astype(jnp.float32)
-        acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
-        m = m_new
-    return (acc / den).astype(out_dtype)
-
-
-def _attend_with_self(
-    q, k, v, k_new, v_new, score_scale, self_score_scale,
-    prob_scale, self_prob_scale, length, out_dtype,
-):
-    """Decode attention over ``length`` OLD cache rows plus an explicit
-    self-term for the token being decoded, whose K/V row has NOT been
-    written to the cache yet.
-
-    Mathematically identical to append-then-attend over length+1 rows, but
-    the kernel never reads the appended row — so the XLA cache append and
-    this custom call have no read-after-write dependency. Same online
-    S-chunked recurrence as _attend, seeded with the self term: the running
-    max starts at the self score, the denominator at exp(0) = 1, and the
-    accumulator at (self V scale ·) v_new.
-
-    Shapes: q/k_new/v_new (H, D); k/v (H, S, D); scales (H, S) / (H, 1).
-    """
-    h, s_total, d = k.shape
-    qf = q.astype(jnp.float32)
-    self_s = jnp.sum(
-        k_new.astype(jnp.float32) * qf, axis=-1, keepdims=True
-    ) * self_score_scale                                   # (H, 1)
-    m = self_s
-    den = jnp.ones((h, 1), jnp.float32)                    # exp(self - m) = 1
-    acc = v_new.astype(jnp.float32)
-    if self_prob_scale is not None:
-        acc = acc * self_prob_scale
-    for c0 in range(0, s_total, _SC):
-        sc_len = min(_SC, s_total - c0)
-        kc = jax.lax.slice_in_dim(k, c0, c0 + sc_len, axis=1).astype(jnp.float32)
-        scores = jnp.sum(kc * qf[:, None, :], axis=-1)
-        if hasattr(score_scale, "ndim") and getattr(score_scale, "ndim", 0) == 2:
-            scores = scores * jax.lax.slice_in_dim(score_scale, c0, c0 + sc_len, axis=1)
-        else:
-            scores = scores * score_scale
-        ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (h, sc_len), 1)
-        valid = ids < length
-        scores = jnp.where(valid, scores, MASK_VALUE)
-        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-        corr = jnp.exp(m - m_new)
-        e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
-        den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
-        if prob_scale is not None:
-            e = e * jax.lax.slice_in_dim(prob_scale, c0, c0 + sc_len, axis=1)
-        vc = jax.lax.slice_in_dim(v, c0, c0 + sc_len, axis=1).astype(jnp.float32)
-        acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
-        m = m_new
-    return (acc / den).astype(out_dtype)
+def _pick_chunk(h, s, itemsize) -> int:
+    """Largest 256-multiple S-chunk whose K+V blocks (D padded to 128
+    lanes, double-buffered) fit the budget. Minimizing the outer grid size
+    matters enormously: extra grid steps measured ~3x slowdown at 1.5B
+    B=16 ctx 640 (469 vs 1347 tok/s for 3 chunks vs 1), so common configs
+    (INT8 cache up to ctx ~1500, bf16 124M up to ctx ~750) stay
+    single-chunk and only genuinely oversized caches pay for chunking."""
+    per_row = h * 128 * itemsize * 2 * 2  # K+V, double-buffered
+    sc = max(_BLOCK_BUDGET // per_row, _INNER)
+    sc = (sc // _INNER) * _INNER
+    return min(sc, -(-s // _INNER) * _INNER)
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -164,292 +85,268 @@ def _lengths_for(q: jax.Array, length) -> jax.Array:
     return length
 
 
-def _q_spec(h, d, stacked):
-    if stacked:
-        return pl.BlockSpec((1, h, d), lambda i, ln, idx: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, d), lambda i, ln: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _cache_spec(h, s, d, stacked):
-    """Cache block. Stacked mode indexes the (L, B, H, S, D) scan-stacked
-    cache directly with the scalar-prefetched layer index — no per-layer
-    slice materialization in HBM."""
-    if stacked:
-        return pl.BlockSpec((1, 1, h, s, d),
-                            lambda i, ln, idx: (idx[0], i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, s, d), lambda i, ln: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _scale_spec(h, s, stacked):
-    """Scale-plane block over the RAW (…, H, S) arrays. (An earlier version
-    reshaped to (…, H, 1, S) to slice per-head rows — that inserted size-1
-    sublane dim forced XLA to materialize an 8x-padded operand copy of both
-    scale planes per layer, ~2.9 ms/step each at 1.5B B=16.)"""
-    if stacked:
-        return pl.BlockSpec((1, 1, h, s),
-                            lambda i, ln, idx: (idx[0], i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, s), lambda i, ln: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _squeeze_layer(val, stacked):
-    return val[0] if stacked else val
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_attention_fused(
-    q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    length: jax.Array,
-    *,
-    interpret: bool = False,
-    layer=None,
-) -> jax.Array:
-    """Fused decode attention. q: (B, H, D); caches: (B, H, S, D);
-    length: scalar or (B,) valid rows. Returns (B, H, D) in q.dtype.
-
-    Stacked mode (``layer`` given): caches are the full scan-stacked
-    (L, B, H, S, D) arrays and the traced layer index selects the layer in
-    the index map (scalar prefetch) — no per-layer slice materialization."""
-    stacked = layer is not None
-    b, h, d = q.shape
-    s = k_cache.shape[-2]
-    scale = 1.0 / math.sqrt(d)
-
-    def kernel(*refs):
-        if stacked:
-            len_ref, _idx_ref, q_ref, k_ref, v_ref, out_ref = refs
-        else:
-            len_ref, q_ref, k_ref, v_ref, out_ref = refs
-        n = len_ref[pl.program_id(0)]
-        k_all = _squeeze_layer(k_ref[:], stacked)[0]   # (H, S, D)
-        v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        out_ref[0] = _attend(
-            q_ref[0], k_all, v_all, scale, None, n, out_ref.dtype
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 if stacked else 1,
-        grid=(b,),
-        in_specs=[
-            _q_spec(h, d, stacked),
-            _cache_spec(h, s, d, stacked),
-            _cache_spec(h, s, d, stacked),
-        ],
-        out_specs=_q_spec(h, d, stacked),
-    )
-    args = [_lengths_for(q, length)]
-    if stacked:
-        args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    args += [q, k_cache, v_cache]
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-        interpret=interpret,
-    )(*args)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_attention_quant_fused(
-    q: jax.Array,
-    k_cache: jax.Array,
-    k_scale: jax.Array,
-    v_cache: jax.Array,
-    v_scale: jax.Array,
-    length: jax.Array,
-    *,
-    interpret: bool = False,
-    layer=None,
-) -> jax.Array:
-    """Fused decode attention over an INT8 cache. q: (B, H, D);
-    k_cache/v_cache: (B, H, S, D) int8; k_scale/v_scale: (B, H, S) f32.
-    Stacked mode as in decode_attention_fused (scales then (L, B, H, S))."""
-    stacked = layer is not None
-    b, h, d = q.shape
-    s = k_cache.shape[-2]
-    scale = 1.0 / math.sqrt(d)
-
-    def kernel(*refs):
-        if stacked:
-            len_ref, _idx_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref = refs
-        else:
-            len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref = refs
-        n = len_ref[pl.program_id(0)]
-        k_all = _squeeze_layer(k_ref[:], stacked)[0]           # (H, S, D) int8
-        v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        ks_all = _squeeze_layer(ks_ref[:], stacked)[0]  # (H, S)
-        vs_all = _squeeze_layer(vs_ref[:], stacked)[0]
-        out_ref[0] = _attend(
-            q_ref[0], k_all, v_all,
-            ks_all.astype(jnp.float32) * scale,
-            vs_all.astype(jnp.float32), n, out_ref.dtype,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 if stacked else 1,
-        grid=(b,),
-        in_specs=[
-            _q_spec(h, d, stacked),
-            _cache_spec(h, s, d, stacked), _scale_spec(h, s, stacked),
-            _cache_spec(h, s, d, stacked), _scale_spec(h, s, stacked),
-        ],
-        out_specs=_q_spec(h, d, stacked),
-    )
-    args = [_lengths_for(q, length)]
-    if stacked:
-        args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    args += [q, k_cache, k_scale, v_cache, v_scale]
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-        interpret=interpret,
-    )(*args)
-
-
 def _row_spec(h, d, stacked):
-    """(B, H, D) per-token rows (q / k_new / v_new)."""
-    return _q_spec(h, d, stacked)
+    """Per-sequence (1, H, D) rows (q / k_new / v_new), chunk-invariant."""
+    if stacked:
+        return pl.BlockSpec((1, h, d), lambda i, j, ln, idx: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, h, d), lambda i, j, ln: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _srow_spec(h, stacked):
-    """(B, H, 1) per-token scale rows."""
+    """Per-sequence (1, H, 1) scale rows (deferred INT8 variants)."""
     if stacked:
-        return pl.BlockSpec((1, h, 1), lambda i, ln, idx: (i, 0, 0),
+        return pl.BlockSpec((1, h, 1), lambda i, j, ln, idx: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, 1), lambda i, ln: (i, 0, 0),
+    return pl.BlockSpec((1, h, 1), lambda i, j, ln: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_attention_deferred_fused(
-    q: jax.Array,
-    k_new: jax.Array,
-    v_new: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    length: jax.Array,
-    *,
-    interpret: bool = False,
-    layer=None,
-) -> jax.Array:
-    """Fused decode attention over ``length`` OLD rows + the un-appended
-    current token (see _attend_with_self). q/k_new/v_new: (B, H, D);
-    caches: (B, H, S, D) — stacked (L, B, H, S, D) when ``layer`` given;
-    length: (B,) count of rows already in the cache (== current position)."""
+def _cache_spec(h, d, stacked, sc):
+    """One (H, sc, D) cache block per grid step."""
+    if stacked:
+        return pl.BlockSpec((1, 1, h, sc, d),
+                            lambda i, j, ln, idx: (idx[0], i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, h, sc, d), lambda i, j, ln: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _plane_spec(h, stacked, sc):
+    """One (H, sc) scale-plane block per grid step (raw (…, H, S) arrays)."""
+    if stacked:
+        return pl.BlockSpec((1, 1, h, sc),
+                            lambda i, j, ln, idx: (idx[0], i, 0, j),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, h, sc), lambda i, j, ln: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+
+
+def _inner_slice(ref, stacked, c0, ln, plane=False):
+    """Static (H, ln, D) / (H, ln) slice of the resident block ref."""
+    if plane:
+        return ref[0, 0, :, c0:c0 + ln] if stacked else ref[0, :, c0:c0 + ln]
+    return (ref[0, 0, :, c0:c0 + ln, :] if stacked
+            else ref[0, :, c0:c0 + ln, :])
+
+
+def _build_kernel(*, stacked, quant, deferred, h, d, n_chunks, sc, scale,
+                  out_dtype):
+    """One flash-decode kernel body covering all four variants."""
+
+    def kernel(*args):
+        if stacked:
+            len_ref, _idx_ref, *refs = args
+        else:
+            len_ref, *refs = args
+        it = iter(refs)
+        q_ref = next(it)
+        if deferred:
+            kn_ref = next(it)
+            ksn_ref = next(it) if quant else None
+            vn_ref = next(it)
+            vsn_ref = next(it) if quant else None
+        k_ref = next(it)
+        ks_ref = next(it) if quant else None
+        v_ref = next(it)
+        vs_ref = next(it) if quant else None
+        out_ref = next(it)
+        m_s, den_s, acc_s = next(it), next(it), next(it)
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        n = len_ref[i]
+        qf = q_ref[0].astype(jnp.float32)  # (H, D)
+
+        # Running softmax state is carried as VALUES through the inner loop
+        # (scratch read-modify-writes per iteration measured ~2.6x slower);
+        # scratch is touched only at grid-step boundaries, and not at all
+        # when the whole cache fits one grid step.
+        if deferred:
+            # Seed the recurrence with the self-term: running max = the
+            # self score, denominator = exp(0) = 1, accumulator = the
+            # (scaled) new V row.
+            init_m = jnp.sum(
+                kn_ref[0].astype(jnp.float32) * qf, axis=-1, keepdims=True
+            ) * scale
+            if quant:
+                init_m = init_m * ksn_ref[0].astype(jnp.float32)
+            init_den = jnp.ones((h, 1), jnp.float32)
+            init_acc = vn_ref[0].astype(jnp.float32)
+            if quant:
+                init_acc = init_acc * vsn_ref[0].astype(jnp.float32)
+        else:
+            init_m = jnp.full((h, 1), MASK_VALUE, jnp.float32)
+            init_den = jnp.zeros((h, 1), jnp.float32)
+            init_acc = jnp.zeros((h, d), jnp.float32)
+        if n_chunks == 1:
+            m, den, acc = init_m, init_den, init_acc
+        else:
+            first = j == 0
+            m = jnp.where(first, init_m, m_s[:])
+            den = jnp.where(first, init_den, den_s[:])
+            acc = jnp.where(first, init_acc, acc_s[:])
+
+        # Inner loop over the resident block in _INNER-row steps: bounds
+        # the f32 temporaries while the outer grid keeps DMA blocks big.
+        for c0 in range(0, sc, _INNER):
+            ln = min(_INNER, sc - c0)
+            kc = _inner_slice(k_ref, stacked, c0, ln).astype(jnp.float32)
+            scores = jnp.sum(kc * qf[:, None, :], axis=-1) * scale
+            if quant:
+                scores = scores * _inner_slice(
+                    ks_ref, stacked, c0, ln, plane=True
+                ).astype(jnp.float32)
+            ids = j * sc + c0 + jax.lax.broadcasted_iota(jnp.int32, (h, ln), 1)
+            valid = ids < n
+            scores = jnp.where(valid, scores, MASK_VALUE)
+            m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)   # (H, ln)
+            den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
+            if quant:  # V scales weight the sum, never the denominator
+                # Re-mask after the multiply: block padding is uninitialized
+                # and 0 * NaN = NaN.
+                e = jnp.where(valid, e * _inner_slice(
+                    vs_ref, stacked, c0, ln, plane=True
+                ).astype(jnp.float32), 0.0)
+            vc = _inner_slice(v_ref, stacked, c0, ln).astype(jnp.float32)
+            # Zero invalid V rows too (same NaN concern). Mask widened to
+            # f32 first — Mosaic only supports non-no-op minor-dim inserts
+            # on 32-bit types, not bool.
+            validf = valid.astype(jnp.float32)
+            vc = jnp.where(validf[:, :, None] > 0.0, vc, 0.0)
+            acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
+            m = m_new
+
+        if n_chunks == 1:
+            out_ref[0] = (acc / den).astype(out_dtype)
+        else:
+            @pl.when(j < n_chunks - 1)
+            def _carry():
+                m_s[:] = m
+                den_s[:] = den
+                acc_s[:] = acc
+
+            @pl.when(j == n_chunks - 1)
+            def _emit():
+                out_ref[0] = (acc / den).astype(out_dtype)
+
+    return kernel
+
+
+def _attention_call(
+    *, q, k_cache, v_cache, length, layer, interpret, quant,
+    deferred, k_scale=None, v_scale=None,
+    k_new=None, ks_new=None, v_new=None, vs_new=None,
+):
     stacked = layer is not None
     b, h, d = q.shape
     s = k_cache.shape[-2]
+    sc = _pick_chunk(h, s, jnp.dtype(k_cache.dtype).itemsize)
+    n_chunks = pl.cdiv(s, sc)
     scale = 1.0 / math.sqrt(d)
 
-    def kernel(*refs):
-        if stacked:
-            len_ref, _idx, q_ref, kn_ref, vn_ref, k_ref, v_ref, out_ref = refs
-        else:
-            len_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, out_ref = refs
-        n = len_ref[pl.program_id(0)]
-        k_all = _squeeze_layer(k_ref[:], stacked)[0]
-        v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        out_ref[0] = _attend_with_self(
-            q_ref[0], k_all, v_all, kn_ref[0], vn_ref[0],
-            scale, scale, None, None, n, out_ref.dtype,
-        )
+    in_specs = [_row_spec(h, d, stacked)]
+    inputs = [q]
+    if deferred:
+        in_specs.append(_row_spec(h, d, stacked))
+        inputs.append(k_new.astype(q.dtype) if not quant else k_new)
+        if quant:
+            in_specs.append(_srow_spec(h, stacked))
+            inputs.append(ks_new[..., None])
+        in_specs.append(_row_spec(h, d, stacked))
+        inputs.append(v_new.astype(q.dtype) if not quant else v_new)
+        if quant:
+            in_specs.append(_srow_spec(h, stacked))
+            inputs.append(vs_new[..., None])
+    in_specs.append(_cache_spec(h, d, stacked, sc))
+    inputs.append(k_cache)
+    if quant:
+        in_specs.append(_plane_spec(h, stacked, sc))
+        inputs.append(k_scale)
+    in_specs.append(_cache_spec(h, d, stacked, sc))
+    inputs.append(v_cache)
+    if quant:
+        in_specs.append(_plane_spec(h, stacked, sc))
+        inputs.append(v_scale)
 
+    kernel = _build_kernel(
+        stacked=stacked, quant=quant, deferred=deferred,
+        h=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale, out_dtype=q.dtype,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if stacked else 1,
-        grid=(b,),
-        in_specs=[
-            _row_spec(h, d, stacked), _row_spec(h, d, stacked),
-            _row_spec(h, d, stacked),
-            _cache_spec(h, s, d, stacked), _cache_spec(h, s, d, stacked),
+        grid=(b, n_chunks),
+        in_specs=in_specs,
+        out_specs=_row_spec(h, d, stacked),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),   # running max
+            pltpu.VMEM((h, 1), jnp.float32),   # running denominator
+            pltpu.VMEM((h, d), jnp.float32),   # running V accumulator
         ],
-        out_specs=_q_spec(h, d, stacked),
     )
-    args = [_lengths_for(q, length)]
+    scalars = [_lengths_for(q, length)]
     if stacked:
-        args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    args += [q, k_new.astype(q.dtype), v_new.astype(q.dtype), k_cache, v_cache]
+        scalars.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
-    )(*args)
+    )(*scalars, *inputs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_fused(q, k_cache, v_cache, length, *,
+                           interpret=False, layer=None):
+    """Fused decode attention. q: (B, H, D); caches: (B, H, S, D) —
+    stacked (L, B, H, S, D) when ``layer`` is given; length: scalar or (B,)
+    valid rows. Returns (B, H, D) in q.dtype."""
+    return _attention_call(
+        q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
+        interpret=interpret, quant=False, deferred=False,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_quant_fused(q, k_cache, k_scale, v_cache, v_scale,
+                                 length, *, interpret=False, layer=None):
+    """Fused decode attention over an INT8 cache. k_scale/v_scale:
+    (…, H, S) f32 per-(token, head) scales."""
+    return _attention_call(
+        q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
+        interpret=interpret, quant=True, deferred=False,
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_deferred_fused(q, k_new, v_new, k_cache, v_cache,
+                                    length, *, interpret=False, layer=None):
+    """Deferred-append decode attention: attends over ``length`` OLD cache
+    rows plus an explicit self-term for the (un-appended) current token —
+    mathematically identical to append-then-attend over length+1 rows."""
+    return _attention_call(
+        q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
+        interpret=interpret, quant=False, deferred=True,
+        k_new=k_new, v_new=v_new,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention_quant_deferred_fused(
-    q: jax.Array,
-    k_new: jax.Array,
-    ks_new: jax.Array,
-    v_new: jax.Array,
-    vs_new: jax.Array,
-    k_cache: jax.Array,
-    k_scale: jax.Array,
-    v_cache: jax.Array,
-    v_scale: jax.Array,
-    length: jax.Array,
-    *,
-    interpret: bool = False,
-    layer=None,
-) -> jax.Array:
+    q, k_new, ks_new, v_new, vs_new, k_cache, k_scale, v_cache, v_scale,
+    length, *, interpret=False, layer=None,
+):
     """Deferred-append decode attention over an INT8 cache. k_new/v_new are
     the already-quantized (B, H, D) int8 rows with (B, H) scales — the same
-    values the cache append will store, so the math is bit-identical to
+    values the cache append stores, so the math is bit-identical to
     append-then-attend."""
-    stacked = layer is not None
-    b, h, d = q.shape
-    s = k_cache.shape[-2]
-    scale = 1.0 / math.sqrt(d)
-
-    def kernel(*refs):
-        if stacked:
-            (len_ref, _idx, q_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
-             k_ref, ks_ref, v_ref, vs_ref, out_ref) = refs
-        else:
-            (len_ref, q_ref, kn_ref, ksn_ref, vn_ref, vsn_ref,
-             k_ref, ks_ref, v_ref, vs_ref, out_ref) = refs
-        n = len_ref[pl.program_id(0)]
-        k_all = _squeeze_layer(k_ref[:], stacked)[0]
-        v_all = _squeeze_layer(v_ref[:], stacked)[0]
-        ks_all = _squeeze_layer(ks_ref[:], stacked)[0].astype(jnp.float32)
-        vs_all = _squeeze_layer(vs_ref[:], stacked)[0].astype(jnp.float32)
-        ksn = ksn_ref[0].astype(jnp.float32)  # (H, 1)
-        vsn = vsn_ref[0].astype(jnp.float32)
-        out_ref[0] = _attend_with_self(
-            q_ref[0], k_all, v_all, kn_ref[0], vn_ref[0],
-            ks_all * scale, ksn * scale, vs_all, vsn, n, out_ref.dtype,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 if stacked else 1,
-        grid=(b,),
-        in_specs=[
-            _row_spec(h, d, stacked), _row_spec(h, d, stacked),
-            _srow_spec(h, stacked),
-            _row_spec(h, d, stacked), _srow_spec(h, stacked),
-            _cache_spec(h, s, d, stacked), _scale_spec(h, s, stacked),
-            _cache_spec(h, s, d, stacked), _scale_spec(h, s, stacked),
-        ],
-        out_specs=_q_spec(h, d, stacked),
+    return _attention_call(
+        q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
+        interpret=interpret, quant=True, deferred=True,
+        k_scale=k_scale, v_scale=v_scale,
+        k_new=k_new, ks_new=ks_new, v_new=v_new, vs_new=vs_new,
     )
-    args = [_lengths_for(q, length)]
-    if stacked:
-        args.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    args += [
-        q, k_new, ks_new[..., None], v_new, vs_new[..., None],
-        k_cache, k_scale, v_cache, v_scale,
-    ]
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-        interpret=interpret,
-    )(*args)
