@@ -143,9 +143,12 @@ class TestDeferredAppend:
                                    rtol=1e-6, atol=1e-6)
 
 
-def test_multi_chunk_online_softmax(rng):
-    """S > _SC exercises the online-softmax chunk recurrence."""
-    B, H, S, D = 1, 2, 600, 64  # 3 chunks of 256/256/88
+def test_multi_chunk_online_softmax(rng, monkeypatch):
+    """A tiny block budget forces several S-chunk grid steps, exercising the
+    online-softmax scratch carry across the chunk grid dimension."""
+    # 128-row chunks: per_row = h*128*4*4 = 4 KiB -> sc = 128, 5 chunks.
+    monkeypatch.setattr(fused, "_BLOCK_BUDGET", 512 * 1024)
+    B, H, S, D = 1, 2, 600, 64
     q, k, v = _mk(rng, B, H, S, D)
     length = jnp.asarray([517], jnp.int32)
     want = ops.decode_attention(q, k, v, length)
@@ -157,3 +160,53 @@ def test_multi_chunk_online_softmax(rng):
     want_q = ops.decode_attention_quant(q, kq, ks, vq, vs, length)
     got_q = fused.decode_attention_quant_fused(q, kq, ks, vq, vs, length, interpret=True)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q), rtol=2e-2, atol=5e-3)
+
+
+def test_batch_fold_multi_chunk(rng, monkeypatch):
+    """bc > 1 (several sequences per grid cell) combined with S-chunking:
+    per-sequence lengths must mask independently inside the folded cell.
+    Folding is pinned off in production (_FOLD_CANDIDATES); this keeps the
+    machinery correct for a future pre-merged plane layout."""
+    monkeypatch.setattr(fused, "_BLOCK_BUDGET", 1024 * 1024)
+    monkeypatch.setattr(fused, "_FOLD_CANDIDATES", (8, 4, 2, 1))
+    B, H, S, D = 4, 2, 300, 64
+    q, k, v = _mk(rng, B, H, S, D)
+    length = jnp.asarray([1, 37, 300, 129], jnp.int32)
+    want = ops.decode_attention(q, k, v, length)
+    got = fused.decode_attention_fused(q, k, v, length, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_batch_fold_deferred_quant(rng, monkeypatch):
+    """bc > 1 on the deferred INT8 path (the serving configuration)."""
+    monkeypatch.setattr(fused, "_FOLD_CANDIDATES", (8, 4, 2, 1))
+    B, H, S, D = 4, 3, 32, 64
+    q, kf, vf = _mk(rng, B, H, S, D)
+    kq, ks = ops.quantize_kv(kf)
+    vq, vs = ops.quantize_kv(vf)
+    knew = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    vnew = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    knq, kns = ops.quantize_kv(knew)
+    vnq, vns = ops.quantize_kv(vnew)
+    pos = jnp.asarray([0, 3, 31, 17], jnp.int32)
+
+    def put(c, r):
+        return jax.vmap(
+            lambda cb, rb, pb: jax.lax.dynamic_update_slice_in_dim(
+                cb, rb[:, None, :].astype(cb.dtype), pb, axis=1)
+        )(c, r, pos)
+
+    def puts(c, r):
+        return jax.vmap(
+            lambda cb, rb, pb: jax.lax.dynamic_update_slice_in_dim(
+                cb, rb[:, None], pb, axis=1)
+        )(c, r, pos)
+
+    want = ops.decode_attention_quant(
+        q, put(kq, knq), puts(ks, kns), put(vq, vnq), puts(vs, vns), pos + 1
+    )
+    got = fused.decode_attention_quant_deferred_fused(
+        q, knq, kns, vnq, vns, kq, ks, vq, vs, pos, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=5e-3)

@@ -55,27 +55,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zig_gpt2_tpu.ops.layers import MASK_VALUE
 
-# Inner compute chunk: the in-kernel loop slices the resident block in
-# 128-row steps so the f32 temporaries (lane-padded to 128 like the blocks:
-# ~3 x h*_INNER*128*4 bytes) stay bounded.
+# Inner compute chunk cap: the in-kernel loop slices the resident block in
+# at-most-128-row steps, shrunk further (via _inner_rows) so the f32
+# temporaries (lane-padded to 128 like the blocks) stay ~2 MB each.
 _INNER = 128
 # VMEM budget for the K+V blocks of one grid step (bytes; double-buffered
-# pairs must fit the 16 MB scoped budget together with the ~3 MB of f32
+# pairs must fit the 16 MB scoped budget together with the ~6 MB of f32
 # inner-loop temporaries).
-_BLOCK_BUDGET = 6 * 1024 * 1024
+_BLOCK_BUDGET = 8 * 1024 * 1024
+# Batch-fold factors _pick_block may choose. Pinned to (1,) — folding
+# measured a net loss both ways (see _pick_block docstring); tests
+# monkeypatch this to exercise the bc > 1 machinery in interpret mode.
+_FOLD_CANDIDATES = (1,)
 
 
-def _pick_chunk(h, s, itemsize) -> int:
-    """Largest 256-multiple S-chunk whose K+V blocks (D padded to 128
-    lanes, double-buffered) fit the budget. Minimizing the outer grid size
-    matters enormously: extra grid steps measured ~3x slowdown at 1.5B
-    B=16 ctx 640 (469 vs 1347 tok/s for 3 chunks vs 1), so common configs
-    (INT8 cache up to ctx ~1500, bf16 124M up to ctx ~750) stay
-    single-chunk and only genuinely oversized caches pay for chunking."""
-    per_row = h * 128 * itemsize * 2 * 2  # K+V, double-buffered
-    sc = max(_BLOCK_BUDGET // per_row, _INNER)
-    sc = (sc // _INNER) * _INNER
-    return min(sc, -(-s // _INNER) * _INNER)
+def _inner_rows(bc, h) -> int:
+    """Rows per inner compute step: caps each (h, rows, 128) f32 temporary
+    at ~1.6 MB (= the validated 25-head x 128-row config; there are ~6-7
+    live temporaries per iteration, and 2 MB/temp measured a 444 KB scoped
+    OOM at merged h=50). Multiple of 8 sublanes."""
+    cap = (25 * 128 * 128 * 4) // (bc * h * 128 * 4)
+    return max(8, min(_INNER, cap // 8 * 8))
+
+
+def _pick_block(b, h, s, itemsize, quant):
+    """(batch-fold bc, S-chunk sc) minimizing the grid size. Grid cells
+    carry a large fixed cost (DMA issue for up to 9 operands + prologue;
+    measured ~8 us/cell vs <1 us of VPU compute at 1.5B, and 3 S-chunks vs
+    1 was a 3x slowdown at B=16 ctx 640), so fold batch elements into one
+    cell when the VMEM budget allows, preferring configs that keep the
+    whole cache in a single S-chunk (INT8 cache to ctx ~2000 at bc=1,
+    bf16 124M to ctx ~1000).
+
+    Folding is currently PINNED OFF (bc = 1) — both attempts measured a
+    net loss (see BENCHMARKS.md "Negative result — batch-folding"): a 4-D
+    (bc, H, …) kernel lowered ~4% slower, and merging (…, B, H) ->
+    (…, B/bc, bc*H) outside the kernel bitcasts the 5-D caches but
+    physically retiles the 3-D f32 scale planes (H=25 pads to 32 sublanes
+    per batch slice vs 50 -> 56 merged), so XLA copied both full stacked
+    plane arrays EVERY layer (40% regression at 1.5B INT8-KV B=16); the
+    bf16 variant additionally hung the Mosaic compile. The machinery is
+    kept (and interpret-tested) for a future pre-merged plane layout."""
+    del quant
+    s_pad = -(-s // _INNER) * _INNER
+    best = None  # (cells, n_chunks, -bc) lexicographic
+    for bc in _FOLD_CANDIDATES:
+        if b % bc:
+            continue
+        per_row = bc * h * 128 * itemsize * 2 * 2  # K+V, double-buffered
+        sc = (_BLOCK_BUDGET // per_row) // _INNER * _INNER
+        if sc <= 0:
+            continue
+        sc = min(sc, s_pad)
+        n_chunks = -(-s_pad // sc)
+        cand = ((b // bc) * n_chunks, n_chunks, -bc, bc, sc)
+        if best is None or cand[:3] < best[:3]:
+            best = cand
+    if best is None:  # degenerate huge-H fallback: minimal blocks
+        return 1, _INNER
+    return best[3], best[4]
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -86,7 +124,10 @@ def _lengths_for(q: jax.Array, length) -> jax.Array:
 
 
 def _row_spec(h, d, stacked):
-    """Per-sequence (1, H, D) rows (q / k_new / v_new), chunk-invariant."""
+    """Per-cell (1, H, D) rows (q / k_new / v_new / out), chunk-invariant.
+    H here is bc*n_heads when batch elements are folded (see
+    _attention_call): grid index i covers the bc sequences whose head
+    stacks were merged into one leading dim by a free XLA reshape."""
     if stacked:
         return pl.BlockSpec((1, h, d), lambda i, j, ln, idx: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -95,7 +136,7 @@ def _row_spec(h, d, stacked):
 
 
 def _srow_spec(h, stacked):
-    """Per-sequence (1, H, 1) scale rows (deferred INT8 variants)."""
+    """Per-cell (1, H, 1) scale rows (deferred INT8 variants)."""
     if stacked:
         return pl.BlockSpec((1, h, 1), lambda i, j, ln, idx: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -104,7 +145,7 @@ def _srow_spec(h, stacked):
 
 
 def _cache_spec(h, d, stacked, sc):
-    """One (H, sc, D) cache block per grid step."""
+    """One (1, H, sc, D) cache block per grid step."""
     if stacked:
         return pl.BlockSpec((1, 1, h, sc, d),
                             lambda i, j, ln, idx: (idx[0], i, 0, j, 0),
@@ -114,7 +155,7 @@ def _cache_spec(h, d, stacked, sc):
 
 
 def _plane_spec(h, stacked, sc):
-    """One (H, sc) scale-plane block per grid step (raw (…, H, S) arrays)."""
+    """One (1, H, sc) scale-plane block per grid step (raw (…, H, S))."""
     if stacked:
         return pl.BlockSpec((1, 1, h, sc),
                             lambda i, j, ln, idx: (idx[0], i, 0, j),
@@ -131,9 +172,23 @@ def _inner_slice(ref, stacked, c0, ln, plane=False):
             else ref[0, :, c0:c0 + ln, :])
 
 
-def _build_kernel(*, stacked, quant, deferred, h, d, n_chunks, sc, scale,
-                  out_dtype):
-    """One flash-decode kernel body covering all four variants."""
+def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
+                  scale, out_dtype):
+    """One flash-decode kernel body covering all four variants.
+
+    ``h`` is the MERGED leading dim bc * n_heads: when bc > 1 batch
+    elements are folded into the head axis OUTSIDE the kernel (a free XLA
+    reshape of default-layout (…, B, H, …) arrays — see _attention_call),
+    so bc sequences ride through the identical 3-D VPU code path as one
+    taller head stack. In-kernel alternatives measured/failed: a 4-D
+    (bc, H, …) formulation was 26% slower end-to-end (worse Mosaic
+    lowering); an in-kernel leading-dim reshape doesn't lower at all
+    ("unsupported shape cast" — it would merge across a 25-sublane
+    boundary). Only the valid-length mask knows about the fold: rows
+    belong to bc different sequences with different lengths.
+    """
+    hg = h // bc  # heads per sequence (mask group size)
+    inner = _inner_rows(1, h)
 
     def kernel(*args):
         if stacked:
@@ -156,7 +211,23 @@ def _build_kernel(*, stacked, quant, deferred, h, d, n_chunks, sc, scale,
 
         i = pl.program_id(0)
         j = pl.program_id(1)
-        n = len_ref[i]
+
+        def valid_mask(c0, ln):
+            """(H, ln) valid-row mask; row r belongs to sequence r // hg.
+            Built with elementwise selects on a row-id iota — Mosaic can't
+            shape-cast a (bc,) scalar vector to (bc, 1, 1) for
+            broadcasting, nor concat across a non-8-aligned sublane
+            boundary."""
+            ids = j * sc + c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (h, ln), 1)
+            if bc == 1:
+                return ids < len_ref[i]
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (h, ln), 0) // hg
+            n = jnp.full((h, ln), len_ref[i * bc], jnp.int32)
+            for t in range(1, bc):
+                n = jnp.where(rowid == t, len_ref[i * bc + t], n)
+            return ids < n
+
         qf = q_ref[0].astype(jnp.float32)  # (H, D)
 
         # Running softmax state is carried as VALUES through the inner loop
@@ -188,18 +259,17 @@ def _build_kernel(*, stacked, quant, deferred, h, d, n_chunks, sc, scale,
             den = jnp.where(first, init_den, den_s[:])
             acc = jnp.where(first, init_acc, acc_s[:])
 
-        # Inner loop over the resident block in _INNER-row steps: bounds
+        # Inner loop over the resident block in `inner`-row steps: bounds
         # the f32 temporaries while the outer grid keeps DMA blocks big.
-        for c0 in range(0, sc, _INNER):
-            ln = min(_INNER, sc - c0)
+        for c0 in range(0, sc, inner):
+            ln = min(inner, sc - c0)
             kc = _inner_slice(k_ref, stacked, c0, ln).astype(jnp.float32)
             scores = jnp.sum(kc * qf[:, None, :], axis=-1) * scale
             if quant:
                 scores = scores * _inner_slice(
                     ks_ref, stacked, c0, ln, plane=True
                 ).astype(jnp.float32)
-            ids = j * sc + c0 + jax.lax.broadcasted_iota(jnp.int32, (h, ln), 1)
-            valid = ids < n
+            valid = valid_mask(c0, ln)
             scores = jnp.where(valid, scores, MASK_VALUE)
             m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
             corr = jnp.exp(m - m_new)
@@ -244,58 +314,75 @@ def _attention_call(
     stacked = layer is not None
     b, h, d = q.shape
     s = k_cache.shape[-2]
-    sc = _pick_chunk(h, s, jnp.dtype(k_cache.dtype).itemsize)
-    n_chunks = pl.cdiv(s, sc)
+    bc, sc = _pick_block(b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant)
+    n_chunks = pl.cdiv(-(-s // _INNER) * _INNER, sc)
     scale = 1.0 / math.sqrt(d)
+    # Fold bc batch elements into the head axis: (…, B, H, …) ->
+    # (…, B/bc, bc*H, …). Free on default layouts (a row-major relabeling
+    # of two adjacent leading dims) and keeps the kernel's proven 3-D
+    # shapes; the kernel can't do this merge itself (Mosaic rejects
+    # reshapes across a non-8-aligned sublane boundary).
+    bg, hm = b // bc, bc * h
 
-    in_specs = [_row_spec(h, d, stacked)]
-    inputs = [q]
+    def fold_rows(a):  # (B, H, D|1)
+        return a if bc == 1 else a.reshape(bg, hm, *a.shape[2:])
+
+    def fold_cache(a):  # (B, H, S[, D]) or stacked (L, B, H, S[, D])
+        if bc == 1:
+            return a
+        if stacked:
+            return a.reshape(a.shape[0], bg, hm, *a.shape[3:])
+        return a.reshape(bg, hm, *a.shape[2:])
+
+    in_specs = [_row_spec(hm, d, stacked)]
+    inputs = [fold_rows(q)]
     if deferred:
-        in_specs.append(_row_spec(h, d, stacked))
-        inputs.append(k_new.astype(q.dtype) if not quant else k_new)
+        in_specs.append(_row_spec(hm, d, stacked))
+        inputs.append(fold_rows(k_new.astype(q.dtype) if not quant else k_new))
         if quant:
-            in_specs.append(_srow_spec(h, stacked))
-            inputs.append(ks_new[..., None])
-        in_specs.append(_row_spec(h, d, stacked))
-        inputs.append(v_new.astype(q.dtype) if not quant else v_new)
+            in_specs.append(_srow_spec(hm, stacked))
+            inputs.append(fold_rows(ks_new[..., None]))
+        in_specs.append(_row_spec(hm, d, stacked))
+        inputs.append(fold_rows(v_new.astype(q.dtype) if not quant else v_new))
         if quant:
-            in_specs.append(_srow_spec(h, stacked))
-            inputs.append(vs_new[..., None])
-    in_specs.append(_cache_spec(h, d, stacked, sc))
-    inputs.append(k_cache)
+            in_specs.append(_srow_spec(hm, stacked))
+            inputs.append(fold_rows(vs_new[..., None]))
+    in_specs.append(_cache_spec(hm, d, stacked, sc))
+    inputs.append(fold_cache(k_cache))
     if quant:
-        in_specs.append(_plane_spec(h, stacked, sc))
-        inputs.append(k_scale)
-    in_specs.append(_cache_spec(h, d, stacked, sc))
-    inputs.append(v_cache)
+        in_specs.append(_plane_spec(hm, stacked, sc))
+        inputs.append(fold_cache(k_scale))
+    in_specs.append(_cache_spec(hm, d, stacked, sc))
+    inputs.append(fold_cache(v_cache))
     if quant:
-        in_specs.append(_plane_spec(h, stacked, sc))
-        inputs.append(v_scale)
+        in_specs.append(_plane_spec(hm, stacked, sc))
+        inputs.append(fold_cache(v_scale))
 
     kernel = _build_kernel(
-        stacked=stacked, quant=quant, deferred=deferred,
-        h=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale, out_dtype=q.dtype,
+        stacked=stacked, quant=quant, deferred=deferred, bc=bc,
+        h=hm, d=d, n_chunks=n_chunks, sc=sc, scale=scale, out_dtype=q.dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if stacked else 1,
-        grid=(b, n_chunks),
+        grid=(bg, n_chunks),
         in_specs=in_specs,
-        out_specs=_row_spec(h, d, stacked),
+        out_specs=_row_spec(hm, d, stacked),
         scratch_shapes=[
-            pltpu.VMEM((h, 1), jnp.float32),   # running max
-            pltpu.VMEM((h, 1), jnp.float32),   # running denominator
-            pltpu.VMEM((h, d), jnp.float32),   # running V accumulator
+            pltpu.VMEM((hm, 1), jnp.float32),  # running max
+            pltpu.VMEM((hm, 1), jnp.float32),  # running denominator
+            pltpu.VMEM((hm, d), jnp.float32),  # running V accumulator
         ],
     )
     scalars = [_lengths_for(q, length)]
     if stacked:
         scalars.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bg, hm, d), q.dtype),
         interpret=interpret,
     )(*scalars, *inputs)
+    return out if bc == 1 else out.reshape(b, h, d)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
