@@ -35,6 +35,10 @@ def main() -> None:
                    help="request count for --mode serve")
     p.add_argument("--decode-chunk", type=int, default=8,
                    help="on-device decode steps per host sync (--mode serve)")
+    p.add_argument("--mesh", default=None, metavar="DPxTP",
+                   help="run sharded over a (data, model) mesh, e.g. 1x8 — "
+                        "the scaling benchmark (BENCHMARKS.md); requires "
+                        "dp*tp devices")
     args = p.parse_args()
 
     import jax
@@ -48,7 +52,23 @@ def main() -> None:
     config = get_config(args.model)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = gpt2.init_params(config, jax.random.PRNGKey(0), dtype=dtype)
-    if args.quant:
+
+    mesh = None
+    if args.mesh:
+        from zig_gpt2_tpu.parallel import mesh as pmesh
+        from zig_gpt2_tpu.parallel import sharding as psh
+
+        dp, tp = (int(x) for x in args.mesh.split("x"))
+        mesh = pmesh.make_mesh(dp, tp)
+        # cli.py order: pad -> quantize(tp) -> shard (prepare_params inside
+        # the engine/batcher places the leaves).
+        params, config = psh.pad_for_tp(params, config, tp)
+        if args.quant:
+            from zig_gpt2_tpu.quant import quantize as q
+
+            params = q.quantize_params(params, mode=args.quant, tp=tp)
+        params, config = pmesh.prepare_params(params, config, mesh)
+    elif args.quant:
         from zig_gpt2_tpu.quant import quantize as q
 
         params = q.quantize_params(params, mode=args.quant)
@@ -58,6 +78,7 @@ def main() -> None:
         max_seq=args.prompt_len + args.steps,
         prompt_buckets=(args.prompt_len,),
         kv_quant=args.kv_quant,
+        mesh=mesh,
     )
     sampling = SamplingConfig(temperature=0.8, seed=0)
     rng = np.random.default_rng(0)
@@ -75,6 +96,7 @@ def main() -> None:
                 sampling=SamplingConfig(temperature=0.8, seed=0),
                 kv_quant=args.kv_quant,
                 decode_chunk=args.decode_chunk,
+                mesh=mesh,
             )
             r = np.random.default_rng(1)
             for _ in range(args.requests):
@@ -153,6 +175,7 @@ def main() -> None:
                 "metric": f"gpt2_{args.model}_{args.dtype}"
                 + (f"_{args.quant}" if args.quant else "")
                 + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+                + (f"_mesh{args.mesh}" if args.mesh else "")
                 + f"_decode_b{args.batch}_tokens_per_sec",
                 "value": round(tokens_per_sec, 2),
                 "unit": "tokens/sec",

@@ -48,6 +48,26 @@ def test_missing_weights_errors():
         cli.main(["--model", "124M", "--encoder-dir", "/nonexistent", "x"])
 
 
+def test_demo_mesh_matches_single_device(capsys):
+    """--mesh 1x8 greedy output == single-device output (VERDICT item 1).
+    The demo config (4 heads, vocab 320) exercises BOTH padding paths."""
+    cli.main(["--demo", "--max-tokens", "5", "--temp", "0", "abc"])
+    want = capsys.readouterr().out
+    cli.main(["--demo", "--mesh", "1x8", "--max-tokens", "5", "--temp", "0",
+              "abc"])
+    assert capsys.readouterr().out == want
+
+
+def test_demo_mesh_batch_file(tmp_path, capsys):
+    f = tmp_path / "prompts.txt"
+    f.write_text("hello world\nthe quick brown\n")
+    cli.main(["--demo", "--batch-file", str(f), "--batch-slots", "2",
+              "--mesh", "2x4", "--max-tokens", "3", "--temp", "0"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip()]
+    assert {l["prompt"] for l in lines} == {"hello world", "the quick brown"}
+
+
 def test_demo_deterministic_greedy(capsys):
     cli.main(["--demo", "--max-tokens", "5", "--temp", "0", "abc"])
     a = capsys.readouterr().out

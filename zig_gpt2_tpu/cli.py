@@ -84,6 +84,14 @@ def main(argv=None) -> None:
 
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
 
+    mesh = None
+    tp = 1
+    if args.mesh:
+        from zig_gpt2_tpu.parallel import mesh as pmesh
+
+        dp, tp = (int(x) for x in args.mesh.split("x"))
+        mesh = pmesh.make_mesh(dp, tp)
+
     if args.demo:
         from zig_gpt2_tpu.config import GPTConfig
         from zig_gpt2_tpu.tokenizer import Encoder, train_bpe
@@ -104,22 +112,30 @@ def main(argv=None) -> None:
             sys.exit("error: --weights required (or use --demo)")
         from zig_gpt2_tpu.utils import io as zio
 
-        shardings = None
-        if args.mesh:
-            from zig_gpt2_tpu.parallel import mesh as pmesh
-
-            dp, tp = (int(x) for x in args.mesh.split("x"))
-            m = pmesh.make_mesh(dp, tp)
-            shardings = pmesh.param_shardings(m, config)
         if str(args.weights).endswith(".npz"):
             # Pre-repacked (possibly quantized) checkpoint — tools/repack.py.
             params = zio.load_pytree_npz(args.weights)
         else:
-            params = zio.load_gpt2_raw(args.weights, config, dtype=dtype, shardings=shardings)
+            params = zio.load_gpt2_raw(args.weights, config, dtype=dtype)
         if args.quant and "lm_head" not in params:
             from zig_gpt2_tpu.quant import quantize as q
 
-            params = q.quantize_params(params, mode=args.quant)
+            if mesh is not None:
+                # Pad BEFORE quantizing so the quantized layouts (int4
+                # half-split packing, scale groups) are born TP-aligned;
+                # prepare_params then sees dims that already divide.
+                from zig_gpt2_tpu.parallel import sharding as psh
+
+                params, config = psh.pad_for_tp(params, config, tp)
+            params = q.quantize_params(params, mode=args.quant, tp=tp)
+
+    if mesh is not None:
+        # Pads (float checkpoints), sets config.spmd, and places every leaf
+        # with its Megatron-style sharding; engine/batcher below see
+        # config.spmd already set and reuse the placed params as-is.
+        from zig_gpt2_tpu.parallel import mesh as pmesh
+
+        params, config = pmesh.prepare_params(params, config, mesh)
 
     kv_quant = "int8" if args.kv_quant else None
     sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k,
@@ -143,7 +159,7 @@ def main(argv=None) -> None:
         batcher = ContinuousBatcher(
             config, params, batch_size=args.batch_slots,
             max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,
-            decode_chunk=args.decode_chunk,
+            decode_chunk=args.decode_chunk, mesh=mesh,
         )
         rid_to_prompt = {
             batcher.submit(encoder.encode(p), args.max_tokens, stop_tokens): p
@@ -162,7 +178,8 @@ def main(argv=None) -> None:
         return
 
     engine = InferenceEngine(
-        config, params, encoder, max_seq=args.max_seq, kv_quant=kv_quant
+        config, params, encoder, max_seq=args.max_seq, kv_quant=kv_quant,
+        mesh=mesh,
     )
     metrics = GenerationMetrics()
 

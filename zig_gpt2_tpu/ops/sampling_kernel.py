@@ -38,8 +38,13 @@ def sample_categorical(
 ) -> jax.Array:
     """(B, V) logits -> (B,) int32 token ids ~ softmax(logits/temperature).
 
-    seed: (B,) int32 — independent per-row streams (callers derive them from
-    a jax.random key; see runtime/sampling.py)."""
+    seed: (B,) int32. Seeding is BLOCK-granular: the native PRNG is seeded
+    once per 8-row sublane block, with every row's seed folded into the
+    block seed (so changing ANY row's seed changes its block's draws — a
+    caller holding persistent per-slot seeds still gets fresh noise, just
+    correlated within a block). Callers wanting fully independent rows
+    should derive all B seeds from one key per step, as
+    runtime/sampling.py does."""
     b, v = logits.shape
     inv_t = 1.0 / float(temperature)
     rows = 8  # sublane-aligned row block; VMEM per program = 8V f32 * ~3
@@ -71,9 +76,14 @@ def sample_categorical(
         out_specs=pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    # One seed per row-block; each block's native PRNG stream covers its
-    # rows independently.
-    block_seeds = seed.astype(jnp.int32)[::rows]
+    # One seed per row-block, mixing in EVERY row's seed (distinct odd
+    # multipliers keep permuted row seeds from colliding; int32 wraparound
+    # is fine — it's a seed, not arithmetic).
+    padded = jnp.zeros((n_blocks * rows,), jnp.int32).at[:b].set(
+        seed.astype(jnp.int32)
+    ).reshape(n_blocks, rows)
+    mults = (2 * jnp.arange(rows, dtype=jnp.int32) + 1)[None, :]
+    block_seeds = jnp.sum(padded * mults, axis=1, dtype=jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -110,14 +110,18 @@ def param_pspecs(
     return specs
 
 
-def cache_pspecs(config: GPTConfig, quant: Optional[str] = None) -> Dict[str, Any]:
+def cache_pspecs(
+    config: GPTConfig, quant: Optional[str] = None, data_sharded: bool = True
+) -> Dict[str, Any]:
     """KV cache (L, B, H, S, D): batch on data, heads on model. With
     quant="int8" the per-(token, head) scale planes (L, B, H, S) shard the
-    same way."""
-    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
-    specs = {"k": kv, "v": kv, "length": P(DATA_AXIS)}
+    same way. ``data_sharded=False`` replicates the batch axis — used for
+    the batcher's single-slot admission caches (B=1 cannot shard dp>1)."""
+    data = DATA_AXIS if data_sharded else None
+    kv = P(None, data, MODEL_AXIS, None, None)
+    specs = {"k": kv, "v": kv, "length": P(data)}
     if quant == "int8":
-        scale = P(None, DATA_AXIS, MODEL_AXIS, None)
+        scale = P(None, data, MODEL_AXIS, None)
         specs["k_scale"] = scale
         specs["v_scale"] = scale
     return specs
@@ -135,10 +139,38 @@ def param_shardings(mesh: Mesh, config: GPTConfig, params=None) -> Dict[str, Any
     return _named(mesh, param_pspecs(config, params))
 
 
-def cache_shardings(mesh: Mesh, config: GPTConfig) -> Dict[str, Any]:
-    return _named(mesh, cache_pspecs(config))
+def cache_shardings(
+    mesh: Mesh, config: GPTConfig, quant: Optional[str] = None,
+    data_sharded: bool = True,
+) -> Dict[str, Any]:
+    return _named(mesh, cache_pspecs(config, quant, data_sharded))
 
 
 def shard_params(params, mesh: Mesh, config: GPTConfig):
     """Place a (host or single-device) param pytree onto the mesh."""
     return jax.device_put(params, param_shardings(mesh, config, params))
+
+
+def prepare_params(params, config: GPTConfig, mesh: Mesh):
+    """Make a param pytree servable on ``mesh``: pad head/vocab axes for the
+    TP degree (setting ``config.spmd``) and place every leaf with its
+    Megatron-style sharding. Returns ``(sharded_params, padded_config)``.
+
+    Works on float params, and on quantized params whose dims already
+    divide the mesh; a quantized checkpoint that NEEDS padding cannot be
+    padded post-hoc (the packed int4 half-split and scale-group layouts
+    don't survive row insertion) — quantize after padding instead
+    (quant.quantize_params(tp=...)), as cli.py does.
+    """
+    from zig_gpt2_tpu.parallel import sharding as psh
+
+    tp = mesh.shape[MODEL_AXIS]
+    try:
+        params, config = psh.pad_for_tp(params, config, tp)
+    except KeyError as e:
+        raise ValueError(
+            "cannot pad a quantized checkpoint for this mesh — requantize "
+            "from float weights after padding (cli.py order: load → "
+            "pad_for_tp → quantize_params(tp=tp))"
+        ) from e
+    return jax.device_put(params, param_shardings(mesh, config, params)), config

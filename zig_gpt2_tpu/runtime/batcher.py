@@ -108,7 +108,20 @@ class ContinuousBatcher:
         cache_dtype=None,
         on_token: Optional[Callable[[int, int], None]] = None,
         decode_chunk: int = 1,
+        mesh=None,
     ):
+        if mesh is not None:
+            from zig_gpt2_tpu.parallel import mesh as pmesh
+
+            if not config.spmd:
+                params, config = pmesh.prepare_params(params, config, mesh)
+            dp = mesh.shape[pmesh.DATA_AXIS]
+            if batch_size % dp:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data-parallel "
+                    f"degree {dp} (mesh {dict(mesh.shape)})"
+                )
+        self.mesh = mesh
         self.config = config
         self.params = params
         self.batch_size = batch_size
@@ -135,7 +148,18 @@ class ContinuousBatcher:
         self.cache = gpt2.init_kv_cache(
             config, batch_size, cache_rows, dtype=cache_dtype, quant=kv_quant
         )
-        self._cache_fmt = None if config.spmd else cache_formats(self.cache)
+        # _cache_fmt = jit out_shardings for the shared cache: explicit
+        # default layouts single-device, NamedShardings under a mesh.
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from zig_gpt2_tpu.parallel import mesh as pmesh
+
+            self._cache_fmt = pmesh.cache_shardings(mesh, config, quant=kv_quant)
+            self._data_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+        else:
+            self._cache_fmt = None if config.spmd else cache_formats(self.cache)
         if self._cache_fmt is not None:
             self.cache = jax.tree.map(jax.device_put, self.cache, self._cache_fmt)
         self._slot_cache_proto = functools.partial(
@@ -161,7 +185,8 @@ class ContinuousBatcher:
                 )
             key, sub = jax.random.split(key)
             first = sample(logits, sub, sampling.temperature,
-                           sampling.top_k, sampling.top_p)
+                           sampling.top_k, sampling.top_p,
+                           use_kernel=not config.spmd)
             feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx, axis=0)
             return out, feed, key
 
@@ -181,7 +206,8 @@ class ContinuousBatcher:
                 cache, logits = gpt2.decode_step(params, cache, tok, config)
                 key, sub = jax.random.split(key)
                 nxt = sample(logits, sub, sampling.temperature,
-                             sampling.top_k, sampling.top_p)
+                             sampling.top_k, sampling.top_p,
+                             use_kernel=not config.spmd)
                 return (cache, nxt, key), tok  # emit the token just consumed
 
             (cache, nxt, key), consumed = jax.lax.scan(
@@ -204,6 +230,8 @@ class ContinuousBatcher:
         # so steady state costs one dispatch + one (chunk, B) sync per chunk
         # and admissions cost one dispatch and NO sync.
         self._tokens = jnp.zeros((batch_size,), jnp.int32)
+        if self._data_sharding is not None:
+            self._tokens = jax.device_put(self._tokens, self._data_sharding)
 
     # -- client API -----------------------------------------------------------
 
@@ -219,6 +247,15 @@ class ContinuousBatcher:
         if len(prompt_ids) >= self.max_seq:
             raise ValueError(
                 f"prompt length {len(prompt_ids)} >= max_seq {self.max_seq}"
+            )
+        # Admission buckets are a separate cap from max_seq (bench-style
+        # custom buckets can sit below it) — reject here, at submit time,
+        # instead of raising inside _admit() mid-run and losing every
+        # in-flight request.
+        if len(prompt_ids) > max(self.prompt_buckets):
+            raise ValueError(
+                f"prompt length {len(prompt_ids)} exceeds the largest "
+                f"prompt bucket {max(self.prompt_buckets)}"
             )
         rid = self._next_rid
         self._next_rid += 1

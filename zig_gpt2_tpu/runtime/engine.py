@@ -129,7 +129,25 @@ class InferenceEngine:
         prompt_buckets: Optional[Sequence[int]] = None,
         kv_quant: Optional[str] = None,
         cache_dtype: Optional[jnp.dtype] = None,
+        mesh=None,
     ):
+        """``mesh``: a (data, model) jax.sharding.Mesh for sharded serving.
+        If ``config.spmd`` is not already set (params not yet padded/placed
+        — e.g. cli.py does it before quantizing), the engine pads + shards
+        them itself via parallel.mesh.prepare_params. batch_size must
+        divide the data axis."""
+        if mesh is not None:
+            from zig_gpt2_tpu.parallel import mesh as pmesh
+
+            if not config.spmd:
+                params, config = pmesh.prepare_params(params, config, mesh)
+            dp = mesh.shape[pmesh.DATA_AXIS]
+            if batch_size % dp:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data-parallel "
+                    f"degree {dp} (mesh {dict(mesh.shape)})"
+                )
+        self.mesh = mesh
         self.config = config
         self.params = params
         self.encoder = encoder
@@ -142,8 +160,23 @@ class InferenceEngine:
         self.kv_quant = kv_quant
         # wte is always a float leaf even when the linears are quantized.
         self.cache_dtype = cache_dtype or params["wte"].dtype
+        self._step_cache: dict = {}  # jitted step fns, keyed by sampling cfg
+        # _cache_fmt doubles as the jit out_shardings for the cache: explicit
+        # default layouts single-device (see cache_formats) and NamedShardings
+        # under a mesh (pinning the sharded layout stable across steps).
         self._cache_fmt = None
-        if not config.spmd:
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from zig_gpt2_tpu.parallel import mesh as pmesh
+
+            self._cache_fmt = pmesh.cache_shardings(mesh, config, quant=kv_quant)
+            self._data_sharding = {
+                1: NamedSharding(mesh, P(pmesh.DATA_AXIS)),
+                2: NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
+            }
+        elif not config.spmd:
             self._cache_fmt = cache_formats(
                 jax.eval_shape(
                     lambda: gpt2.init_kv_cache(
@@ -158,6 +191,13 @@ class InferenceEngine:
             out_shardings=(self._cache_fmt, None),
         )
 
+    def _put_data(self, arr: jax.Array) -> jax.Array:
+        """Place a (B,) / (B, T) host array batch-sharded on the data axis
+        (no-op single-device)."""
+        if self._data_sharding is None:
+            return arr
+        return jax.device_put(arr, self._data_sharding[arr.ndim])
+
     def new_cache(self) -> gpt2.KVCache:
         cache = gpt2.init_kv_cache(
             self.config,
@@ -170,18 +210,30 @@ class InferenceEngine:
             cache = jax.tree.map(jax.device_put, cache, self._cache_fmt)
         return cache
 
-    @functools.lru_cache(maxsize=8)
     def _sample_step(self, temperature: float, top_k: Optional[int],
                      top_p: Optional[float]):
-        """Fused decode+sample step, jitted once per sampling config."""
+        """Fused decode+sample step, jitted once per sampling config.
+
+        (Cached in a per-instance dict, not functools.lru_cache — a global
+        lru_cache on an instance method pins the engine and its donated
+        cache alive for the process lifetime.)"""
+        cache_key = (temperature, top_k, top_p)
+        hit = self._step_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        use_kernel = not self.config.spmd
 
         def step(params, cache, token, key):
             cache, logits = gpt2.decode_step(params, cache, token, self.config)
             key, sub = jax.random.split(key)
-            return cache, sample(logits, sub, temperature, top_k, top_p), key
+            tok = sample(logits, sub, temperature, top_k, top_p,
+                         use_kernel=use_kernel)
+            return cache, tok, key
 
-        return jax.jit(step, donate_argnums=(1,),
-                       out_shardings=(self._cache_fmt, None, None))
+        fn = jax.jit(step, donate_argnums=(1,),
+                     out_shardings=(self._cache_fmt, None, None))
+        self._step_cache[cache_key] = fn
+        return fn
 
     # -- streaming generation -------------------------------------------------
 
@@ -235,13 +287,13 @@ class InferenceEngine:
         cache, logits = self._prefill(
             self.params,
             self.new_cache(),
-            jnp.asarray(tokens),
-            jnp.asarray([n], jnp.int32),
+            self._put_data(jnp.asarray(tokens)),
+            self._put_data(jnp.asarray([n], jnp.int32)),
         )
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
-                       sampling.top_p)
+                       sampling.top_p, use_kernel=not self.config.spmd)
         token.block_until_ready()
         metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
@@ -297,15 +349,21 @@ class InferenceEngine:
 
     # -- fully-on-device generation (benchmark / batch path) ------------------
 
-    @functools.lru_cache(maxsize=8)
     def _scan_generate(self, n_steps: int, temperature: float,
                        top_k: Optional[int], top_p: Optional[float]):
+        cache_key = (n_steps, temperature, top_k, top_p)
+        hit = self._step_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        use_kernel = not self.config.spmd
+
         def run(params, cache, token, key):
             def body(carry, _):
                 cache, token, key = carry
                 cache, logits = gpt2.decode_step(params, cache, token, self.config)
                 key, sub = jax.random.split(key)
-                token = sample(logits, sub, temperature, top_k, top_p)
+                token = sample(logits, sub, temperature, top_k, top_p,
+                               use_kernel=use_kernel)
                 return (cache, token, key), token
 
             (cache, token, key), tokens = jax.lax.scan(
@@ -313,8 +371,10 @@ class InferenceEngine:
             )
             return cache, tokens  # tokens: (n_steps, B)
 
-        return jax.jit(run, donate_argnums=(1,),
-                       out_shardings=(self._cache_fmt, None))
+        fn = jax.jit(run, donate_argnums=(1,),
+                     out_shardings=(self._cache_fmt, None))
+        self._step_cache[cache_key] = fn
+        return fn
 
     def generate_scan(
         self,
@@ -332,13 +392,13 @@ class InferenceEngine:
         cache, logits = self._prefill(
             self.params,
             self.new_cache(),
-            jnp.asarray(prompt_ids, jnp.int32),
-            jnp.asarray(lengths, jnp.int32),
+            self._put_data(jnp.asarray(prompt_ids, jnp.int32)),
+            self._put_data(jnp.asarray(lengths, jnp.int32)),
         )
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
-                       sampling.top_p)
+                       sampling.top_p, use_kernel=not self.config.spmd)
         run = self._scan_generate(n_steps, sampling.temperature,
                                   sampling.top_k, sampling.top_p)
         _, tokens = run(self.params, cache, token, key)

@@ -16,6 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _under_spmd() -> bool:
+    """True when tracing under a non-trivial abstract mesh (GSPMD would have
+    to partition the Pallas custom call, which it cannot)."""
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        return bool(get_abstract_mesh().axis_names)
+    except Exception:
+        return False
+
+
 def sample(
     logits: jax.Array,
     key: jax.Array,
@@ -31,8 +42,13 @@ def sample(
 
     On TPU the plain-temperature path uses the fused Pallas Gumbel-max
     kernel (ops/sampling_kernel.py — native PRNG, no softmax, no threefry);
-    greedy / top-k / CPU use jax.random. Both are exactly categorical and
-    deterministic per seed, but their random streams differ.
+    greedy / top-k / CPU / SPMD use jax.random. Both are exactly categorical
+    and deterministic per seed, but their random streams differ.
+
+    Pass ``use_kernel=False`` when the logits are mesh-sharded (callers
+    thread ``not config.spmd`` — mirroring the dispatch guards on the
+    attention/qmm kernels); ``_under_spmd()`` is the belt-and-suspenders
+    check for callers that forget.
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -41,6 +57,7 @@ def sample(
         and top_k is None
         and top_p is None
         and jax.default_backend() == "tpu"
+        and not _under_spmd()
     ):
         from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
 
