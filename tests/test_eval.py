@@ -73,3 +73,19 @@ def test_load_tokens_roundtrip(tmp_path, rng):
     binf = tmp_path / "corpus.bin"
     ids.tofile(binf)
     np.testing.assert_array_equal(ev.load_tokens(str(binf)), ids)
+
+
+def test_ppl_gate_tool_demo(tmp_path, capsys, rng):
+    """The one-command gate tool (tools/ppl_gate.py) runs end to end in
+    --demo mode and on a .npy corpus with a real table + JSON verdict."""
+    import json
+
+    from zig_gpt2_tpu.tools import ppl_gate as tool
+
+    rc = tool.main(["--demo", "--modes", "int8", "--batch", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    verdict = json.loads(out.strip().splitlines()[-1])
+    assert verdict["pass"] is True
+    modes = [r["mode"] for r in verdict["rows"]]
+    assert modes == ["fp32", "int8"]
