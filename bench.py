@@ -39,6 +39,9 @@ def main() -> None:
                    help="run sharded over a (data, model) mesh, e.g. 1x8 — "
                         "the scaling benchmark (BENCHMARKS.md); requires "
                         "dp*tp devices")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="prefill sequence parallelism over the model axis "
+                        "(with --mesh; the SP experiment, SURVEY §2.3)")
     args = p.parse_args()
 
     import jax
@@ -55,9 +58,11 @@ def main() -> None:
 
     mesh = None
     if args.mesh:
+        from zig_gpt2_tpu.parallel import distributed as pdist
         from zig_gpt2_tpu.parallel import mesh as pmesh
         from zig_gpt2_tpu.parallel import sharding as psh
 
+        pdist.enable_collective_overlap()
         dp, tp = (int(x) for x in args.mesh.split("x"))
         mesh = pmesh.make_mesh(dp, tp)
         # cli.py order: pad -> quantize(tp) -> shard (prepare_params inside
@@ -68,6 +73,10 @@ def main() -> None:
 
             params = q.quantize_params(params, mode=args.quant, tp=tp)
         params, config = pmesh.prepare_params(params, config, mesh)
+        if args.seq_parallel:
+            import dataclasses
+
+            config = dataclasses.replace(config, seq_parallel=True)
     elif args.quant:
         from zig_gpt2_tpu.quant import quantize as q
 

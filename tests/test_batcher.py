@@ -122,16 +122,24 @@ def test_queue_longer_than_slots_all_complete(params, rng):
 
 
 def test_int8_kv_cache_batching(params, rng):
-    """Continuous batching over the INT8 KV cache path."""
+    """Continuous batching over the INT8 KV cache path: greedy tokens must
+    match a single-sequence INT8-cache engine run per request (catches
+    slot-splice layout bugs in the merged scale planes, not just crashes)."""
+    from zig_gpt2_tpu.runtime.engine import InferenceEngine
+
+    prompts = [list(rng.integers(0, 64, n)) for n in (5, 9, 3)]
+    eng = InferenceEngine(GPT2_NANO, params, max_seq=32, prompt_buckets=(16,),
+                          kv_quant="int8")
+    want = [eng.generate(p, 4, GREEDY) for p in prompts]
+
     batcher = ContinuousBatcher(
         GPT2_NANO, params, batch_size=2, max_seq=32, prompt_buckets=(16,),
         sampling=GREEDY, kv_quant="int8",
     )
     assert batcher.cache["k"].dtype == jnp.int8
-    for _ in range(3):
-        batcher.submit(list(rng.integers(0, 64, 5)), max_new_tokens=4)
-    done = batcher.run()
-    assert len(done) == 3 and all(len(r.generated) == 4 for r in done)
+    rids = [batcher.submit(p, max_new_tokens=4) for p in prompts]
+    done = {r.rid: r.generated for r in batcher.run()}
+    assert [done[r] for r in rids] == want
 
 
 class TestChunkedDecode:

@@ -67,3 +67,53 @@ def test_low_temperature_concentrates(rng):
     np.testing.assert_array_equal(
         np.asarray(draws), np.asarray(jnp.argmax(logits, -1))
     )
+
+
+def test_threshold_restricts_support(rng):
+    """thresh masks logits below the per-row cutoff (the top-k/top-p path:
+    runtime/sampling derives thresh as the k-th / nucleus-boundary logit)."""
+    V = 64
+    logits = jnp.asarray(rng.standard_normal((8, V)), jnp.float32)
+    k = 4
+    kth = jax.lax.top_k(logits, k)[0][:, -1]
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, 8), jnp.int32)
+    draws = np.asarray(sample_categorical(logits, seeds, 1.0, kth))
+    topk_ids = np.asarray(jax.lax.top_k(logits, k)[1])
+    for b in range(8):
+        assert draws[b] in topk_ids[b], (b, draws[b], topk_ids[b])
+
+
+def test_sample_top_k_uses_kernel_and_restricts(rng):
+    """End-to-end: runtime sample() with top_k on TPU draws only top-k ids
+    and is deterministic per key."""
+    from zig_gpt2_tpu.runtime.sampling import sample
+
+    logits = jnp.asarray(rng.standard_normal((16, 128)) * 3, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    draws = np.asarray(sample(logits, key, temperature=1.0, top_k=3))
+    topk_ids = np.asarray(jax.lax.top_k(logits, 3)[1])
+    for b in range(16):
+        assert draws[b] in topk_ids[b]
+    np.testing.assert_array_equal(
+        draws, np.asarray(sample(logits, key, temperature=1.0, top_k=3))
+    )
+
+
+def test_threshold_distribution_matches_masked_categorical(rng):
+    """Empirical frequencies under a threshold == softmax over the kept
+    support (top-k=3 of 16)."""
+    V, T, k = 16, 0.9, 3
+    logits = jnp.asarray(rng.standard_normal((1, V)) * 2.0, jnp.float32)
+    kth = jax.lax.top_k(logits, k)[0][:, -1]
+    n = 4000
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, n), jnp.int32)
+    draws = sample_categorical(
+        jnp.broadcast_to(logits, (n, V)),
+        seeds, T, jnp.broadcast_to(kth, (n,)),
+    )
+    counts = np.bincount(np.asarray(draws), minlength=V)
+    masked = jnp.where(logits[0] >= kth, logits[0] / T, -jnp.inf)
+    p = np.asarray(jax.nn.softmax(masked))
+    expected = p * n
+    std = np.sqrt(expected * (1 - p) + 1e-9)
+    assert np.all(np.abs(counts - expected) < 5 * std + 5), (counts, expected)

@@ -186,3 +186,66 @@ class TestQuantizedSharding:
         assert q.pick_group_size(768, "int8", tp=8) == 32
         assert q.pick_group_size(768, "int8", tp=1) == 128
         assert q.pick_group_size(4096, "int4", tp=8) == 128
+
+
+def test_seq_parallel_prefill_matches(params):
+    """Prefill with sequence-parallel activation sharding (config.
+    seq_parallel) must equal the plain TP run exactly — GSPMD only changes
+    WHERE the elementwise work runs. (Perf effect needs real multi-chip
+    hardware; this pins numerics — SURVEY §2.3 SP row.)"""
+    import jax.numpy as jnp
+
+    dp, tp = 2, 4
+    # Fresh params: the module fixture's leaves may have been donated
+    # (deleted) by the train-step tests.
+    fresh = gpt2.init_params(CFG, jax.random.PRNGKey(0))
+    padded, cfg = psh.pad_for_tp(fresh, CFG, tp)
+    mesh = pmesh.make_mesh(dp, tp)
+    cfg = dataclasses.replace(cfg, mesh=mesh)
+    cfg_sp = dataclasses.replace(cfg, seq_parallel=True)
+    sharded = jax.device_put(padded, pmesh.param_shardings(mesh, cfg))
+
+    rng = np.random.default_rng(7)
+    B, T = 4, 16
+    tokens_np = rng.integers(0, CFG.vocab_size, (B, T)).astype(np.int32)
+    lengths_np = np.asarray([T, T - 3, T - 5, 2], np.int32)
+    tok_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(pmesh.DATA_AXIS, None))
+    len_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(pmesh.DATA_AXIS))
+    tokens = jax.device_put(jnp.asarray(tokens_np), tok_sh)
+    lengths = jax.device_put(jnp.asarray(lengths_np), len_sh)
+
+    def run(c):
+        cache = jax.device_put(
+            gpt2.init_kv_cache(c, B, 32), pmesh.cache_shardings(mesh, c))
+        cache, logits = jax.jit(
+            lambda p, cc, t, l: gpt2.prefill(p, cc, t, l, c)
+        )(sharded, cache, tokens, lengths)
+        return np.asarray(logits), jax.tree.map(np.asarray, cache)
+
+    logits0, cache0 = run(cfg)
+    logits1, cache1 = run(cfg_sp)
+    assert_logits_close(logits1, logits0, msg="seq-parallel prefill logits")
+    for name in ("k", "v"):
+        assert_logits_close(cache1[name], cache0[name],
+                            msg=f"seq-parallel cache {name}")
+
+
+def test_collective_overlap_flags():
+    """enable_collective_overlap appends the latency-hiding flags (or
+    refuses cleanly after backend init)."""
+    import os
+
+    from zig_gpt2_tpu.parallel import distributed as pdist
+
+    before = os.environ.get("XLA_FLAGS", "")
+    try:
+        ok = pdist.enable_collective_overlap()
+        if ok:  # backend not yet initialized in this worker
+            flags = os.environ["XLA_FLAGS"]
+            assert all(f in flags for f in pdist.OVERLAP_FLAGS)
+        # idempotent / already-set path never raises
+        pdist.enable_collective_overlap()
+    finally:
+        os.environ["XLA_FLAGS"] = before

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference never stops — that stays the default)")
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--mesh", default=None, help="tensor-parallel mesh shape, e.g. '1x8' (data x model)")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="shard prefill activations along the sequence axis "
+                        "over the model mesh axis (requires --mesh)")
     p.add_argument("--profile", default=None, metavar="DIR", help="write an XProf trace to DIR")
     p.add_argument("--metrics", action="store_true", help="print timing metrics to stderr")
     p.add_argument("--demo", action="store_true", help="random tiny model + on-the-fly tokenizer (no weights needed)")
@@ -87,8 +90,11 @@ def main(argv=None) -> None:
     mesh = None
     tp = 1
     if args.mesh:
+        from zig_gpt2_tpu.parallel import distributed as pdist
         from zig_gpt2_tpu.parallel import mesh as pmesh
 
+        # Must run before make_mesh touches devices (backend init).
+        pdist.enable_collective_overlap()
         dp, tp = (int(x) for x in args.mesh.split("x"))
         mesh = pmesh.make_mesh(dp, tp)
 
@@ -133,9 +139,13 @@ def main(argv=None) -> None:
         # Pads (float checkpoints), sets config.spmd, and places every leaf
         # with its Megatron-style sharding; engine/batcher below see
         # config.spmd already set and reuse the placed params as-is.
+        import dataclasses
+
         from zig_gpt2_tpu.parallel import mesh as pmesh
 
         params, config = pmesh.prepare_params(params, config, mesh)
+        if args.seq_parallel:
+            config = dataclasses.replace(config, seq_parallel=True)
 
     kv_quant = "int8" if args.kv_quant else None
     sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k,

@@ -31,9 +31,23 @@ class GPTConfig:
     padded_vocab_size: Optional[int] = None
     # True when the model runs GSPMD-sharded over a mesh (set by
     # parallel.sharding.pad_for_tp). Pallas custom calls cannot be
-    # partitioned by GSPMD, so kernel dispatch falls back to the jnp
-    # formulations, which partition head-/column-parallel for free.
+    # partitioned by GSPMD; with ``mesh`` set the hot kernels run
+    # per-shard under op-level shard_map (parallel/shard_kernels.py),
+    # otherwise dispatch falls back to the jnp formulations, which
+    # partition head-/column-parallel for free.
     spmd: bool = False
+    # The (data, model) jax.sharding.Mesh for the shard_map kernel path.
+    # Optional: hashable, compares by device assignment, and is carried in
+    # the config (not threaded per-call) because kernel dispatch sites sit
+    # inside scan bodies that only see the config. None = no shard_map.
+    mesh: Optional[object] = None
+    # Prefill sequence parallelism (SURVEY §2.3 SP): shard the residual
+    # stream's sequence axis over the model mesh axis during prefill, so
+    # LayerNorm/GELU/residual work and activation memory split tp-ways;
+    # GSPMD inserts the all-gather before each matmul and reduce-scatters
+    # after (same wire volume as the TP all-reduce it replaces). Decode has
+    # seq=1 — SP is prefill-only by construction.
+    seq_parallel: bool = False
 
     @property
     def head_dim(self) -> int:

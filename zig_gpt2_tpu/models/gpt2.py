@@ -37,12 +37,34 @@ from zig_gpt2_tpu.ops import layers as ops
 def _use_fused_attention(config: GPTConfig) -> bool:
     """Fused Pallas decode attention on TPU (ZG2_FUSED_ATTN=0 to disable).
     Disabled under an SPMD mesh (config.spmd) — GSPMD cannot partition the
-    custom call; the jnp path partitions head-parallel for free."""
+    custom call; see _use_sharded_kernels for the shard_map path that
+    keeps the kernels per-shard."""
     return (
         jax.default_backend() == "tpu"
         and os.environ.get("ZG2_FUSED_ATTN", "1") != "0"
         and not config.spmd
     )
+
+
+def _use_sharded_kernels(config: GPTConfig) -> bool:
+    """Per-shard Pallas kernels via op-level shard_map when serving over a
+    mesh (config.mesh set by parallel.mesh.prepare_params). On by default
+    on TPU; ZG2_SPMD_KERNELS=0 disables, ZG2_SPMD_KERNELS=interpret forces
+    the path in kernel interpret mode on CPU (mesh parity tests)."""
+    if not (config.spmd and config.mesh is not None):
+        return False
+    opt = os.environ.get("ZG2_SPMD_KERNELS", "auto")
+    if opt == "0":
+        return False
+    if opt == "interpret":
+        return True
+    return jax.default_backend() == "tpu" and os.environ.get(
+        "ZG2_FUSED_ATTN", "1"
+    ) != "0"
+
+
+def _spmd_interpret() -> bool:
+    return os.environ.get("ZG2_SPMD_KERNELS") == "interpret"
 
 
 def _decode_attention(q, caches, idx, length, config):
@@ -208,6 +230,21 @@ def _qkv(
     )
 
 
+def _seq_shard(x: jax.Array, config: GPTConfig) -> jax.Array:
+    """Prefill sequence parallelism: constrain a (B, T, E) activation to
+    (data, model, None) so the elementwise stretch between matmuls runs
+    sequence-sharded (config.seq_parallel; see GPTConfig)."""
+    if not (config.seq_parallel and config.spmd and config.mesh is not None):
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zig_gpt2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(config.mesh, P(DATA_AXIS, MODEL_AXIS, None))
+    )
+
+
 def _block_prefill(
     x: jax.Array,
     bp: Params,
@@ -221,6 +258,7 @@ def _block_prefill(
     ln_2 → mlp → residual).
     """
     B, T, _ = x.shape
+    x = _seq_shard(x, config)
     h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
     q, k, v = _qkv(bp["attn"], h, config.attn_heads, config.spmd)  # (B, T, H, D)
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
@@ -277,30 +315,46 @@ def _layer_slice(tree: Params, idx: jax.Array) -> Params:
 
 
 def _linear_at(
-    p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array, config: GPTConfig
+    p: Dict[str, jax.Array],
+    x: jax.Array,
+    idx: jax.Array,
+    config: GPTConfig,
+    role: str = "col",
 ) -> jax.Array:
     """Apply layer ``idx`` of a stacked linear. On TPU the quantized GEMV
     path feeds the Pallas kernel the WHOLE stacked weight with the layer
     selected in the kernel's index map — XLA never materializes a per-layer
-    slice (profiled at ~135 GB/s + an extra copy when it has to)."""
+    slice (profiled at ~135 GB/s + an extra copy when it has to).
+
+    ``role`` ("col" | "row") is the layer's Megatron parallelism class,
+    used only by the shard_map path: column-parallel layers shard N (no
+    collective), row-parallel layers shard K (one psum)."""
     quantized = "qw" in p or "qw4" in p
     rows = x.size // x.shape[-1]
-    if (
-        quantized
-        and jax.default_backend() == "tpu"
-        and rows <= 64
-        and not config.spmd
-    ):
-        from zig_gpt2_tpu.quant import kernels
-
+    if quantized and rows <= 64:
         int4 = "qw4" in p
         qw = p["qw4"] if int4 else p["qw"]
-        x2 = x.reshape(rows, x.shape[-1])
-        y = kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx)
-        y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
-        if "b" in p:
-            y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
-        return y
+        if jax.default_backend() == "tpu" and not config.spmd:
+            from zig_gpt2_tpu.quant import kernels
+
+            x2 = x.reshape(rows, x.shape[-1])
+            y = kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx)
+            y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
+            if "b" in p:
+                y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
+            return y
+        if _use_sharded_kernels(config):
+            from zig_gpt2_tpu.parallel import shard_kernels as sk
+
+            x2 = x.reshape(rows, x.shape[-1])
+            y = sk.qmm_sharded(
+                x2, qw, p["scale"], int4=int4, role=role, mesh=config.mesh,
+                layer=idx, interpret=_spmd_interpret(),
+            )
+            y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
+            if "b" in p:
+                y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
+            return y
     return _linear(_layer_slice(p, idx), x)
 
 
@@ -346,7 +400,8 @@ def _block_decode(
     # head_dim=64 < 128 lanes can never satisfy that — see BENCHMARKS.md
     # "open issue".)
     caches = dict(caches)
-    deferred = _use_fused_attention(config)
+    sharded = _use_sharded_kernels(config)
+    deferred = _use_fused_attention(config) or sharded
     if "k_scale" in caches:  # INT8 cache: quantize on append
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
@@ -356,13 +411,24 @@ def _block_decode(
             # appended row, so the appends below have no reader in this
             # step and stay true in-place updates — appending first forced
             # XLA into copy-on-write of the cache around the custom call).
-            from zig_gpt2_tpu.ops import attention as fused
+            if sharded:
+                from zig_gpt2_tpu.parallel import shard_kernels as sk
 
-            attn = fused.decode_attention_quant_deferred_fused(
-                q, kq, ks, vq, vs,
-                caches["k"], caches["k_scale"], caches["v"], caches["v_scale"],
-                pos, layer=idx,
-            )
+                attn = sk.decode_attention_quant_deferred_sharded(
+                    q, kq, ks, vq, vs,
+                    caches["k"], caches["k_scale"],
+                    caches["v"], caches["v_scale"],
+                    pos, idx, mesh=config.mesh, interpret=_spmd_interpret(),
+                )
+            else:
+                from zig_gpt2_tpu.ops import attention as fused
+
+                attn = fused.decode_attention_quant_deferred_fused(
+                    q, kq, ks, vq, vs,
+                    caches["k"], caches["k_scale"],
+                    caches["v"], caches["v_scale"],
+                    pos, layer=idx,
+                )
         caches["k"] = _put_row_stacked(caches["k"], kq, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], vq, idx, pos)
         caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, pos)
@@ -371,22 +437,30 @@ def _block_decode(
             attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
     else:
         if deferred:
-            from zig_gpt2_tpu.ops import attention as fused
+            if sharded:
+                from zig_gpt2_tpu.parallel import shard_kernels as sk
 
-            attn = fused.decode_attention_deferred_fused(
-                q, k, v, caches["k"], caches["v"], pos, layer=idx
-            )
+                attn = sk.decode_attention_deferred_sharded(
+                    q, k, v, caches["k"], caches["v"], pos, idx,
+                    mesh=config.mesh, interpret=_spmd_interpret(),
+                )
+            else:
+                from zig_gpt2_tpu.ops import attention as fused
+
+                attn = fused.decode_attention_deferred_fused(
+                    q, k, v, caches["k"], caches["v"], pos, layer=idx
+                )
         caches["k"] = _put_row_stacked(caches["k"], k, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], v, idx, pos)
         if not deferred:
             attn = _decode_attention(q, caches, idx, pos + 1, config)
     attn = attn.reshape(x.shape[0], -1)
-    x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config)
+    x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config, role="row")
     ln2 = _layer_slice(blocks["ln_2"], idx)
     h = ops.layer_norm(x, ln2["w"], ln2["b"], config.layer_norm_eps)
-    h = _linear_at(blocks["mlp"]["c_fc"], h, idx, config)
+    h = _linear_at(blocks["mlp"]["c_fc"], h, idx, config, role="col")
     h = ops.gelu(h)
-    x = x + _linear_at(blocks["mlp"]["c_proj"], h, idx, config)
+    x = x + _linear_at(blocks["mlp"]["c_proj"], h, idx, config, role="row")
     return x, caches
 
 
@@ -395,7 +469,24 @@ def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
     vocab is padded for sharding, the padded tail is masked so sampling can
     never pick a phantom token."""
     if "lm_head" in params:  # untied / quantized override
-        logits = _linear(params["lm_head"], x, config.spmd)
+        p = params["lm_head"]
+        rows = x.size // x.shape[-1]
+        if ("qw" in p or "qw4" in p) and rows <= 64 and _use_sharded_kernels(config):
+            # Vocab(column)-parallel sharded GEMV — the single biggest
+            # decode matmul keeps its Pallas kernel under the mesh.
+            from zig_gpt2_tpu.parallel import shard_kernels as sk
+
+            int4 = "qw4" in p
+            qw = p["qw4"] if int4 else p["qw"]
+            y = sk.qmm_sharded(
+                x.reshape(rows, x.shape[-1]), qw, p["scale"], int4=int4,
+                role="col", mesh=config.mesh, interpret=_spmd_interpret(),
+            )
+            logits = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
+            if "b" in p:
+                logits = logits + p["b"]
+        else:
+            logits = _linear(p, x, config.spmd)
     else:
         logits = jnp.dot(x, params["wte"].T, preferred_element_type=x.dtype)
     if config.padded_vocab_size is not None:

@@ -63,10 +63,12 @@ _INNER = 128
 # pairs must fit the 16 MB scoped budget together with the ~6 MB of f32
 # inner-loop temporaries).
 _BLOCK_BUDGET = 8 * 1024 * 1024
-# Batch-fold factors _pick_block may choose. Pinned to (1,) — folding
-# measured a net loss both ways (see _pick_block docstring); tests
-# monkeypatch this to exercise the bc > 1 machinery in interpret mode.
-_FOLD_CANDIDATES = (1,)
+# Batch-fold factors _pick_block may choose, best-first. The fold keeps a
+# separate bc BLOCK axis and loops sub-batches inside the kernel (see
+# _build_kernel) — round 1's sublane-merging folds both lost (40%
+# plane-retile regression / no lowering; BENCHMARKS.md "Negative result —
+# batch-folding").
+_FOLD_CANDIDATES = (8, 4, 2, 1)
 
 
 def _inner_rows(bc, h) -> int:
@@ -78,7 +80,7 @@ def _inner_rows(bc, h) -> int:
     return max(8, min(_INNER, cap // 8 * 8))
 
 
-def _pick_block(b, h, s, itemsize, quant):
+def _pick_block(b, h, s, itemsize, quant, foldable=False):
     """(batch-fold bc, S-chunk sc) minimizing the grid size. Grid cells
     carry a large fixed cost (DMA issue for up to 9 operands + prologue;
     measured ~8 us/cell vs <1 us of VPU compute at 1.5B, and 3 S-chunks vs
@@ -87,27 +89,26 @@ def _pick_block(b, h, s, itemsize, quant):
     whole cache in a single S-chunk (INT8 cache to ctx ~2000 at bc=1,
     bf16 124M to ctx ~1000).
 
-    Folding is currently PINNED OFF (bc = 1) — both attempts measured a
-    net loss (see BENCHMARKS.md "Negative result — batch-folding"): a 4-D
-    (bc, H, …) kernel lowered ~4% slower, and merging (…, B, H) ->
-    (…, B/bc, bc*H) outside the kernel bitcasts the 5-D caches but
-    physically retiles the 3-D f32 scale planes (H=25 pads to 32 sublanes
-    per batch slice vs 50 -> 56 merged), so XLA copied both full stacked
-    plane arrays EVERY layer (40% regression at 1.5B INT8-KV B=16); the
-    bf16 variant additionally hung the Mosaic compile. The machinery is
-    kept (and interpret-tested) for a future pre-merged plane layout."""
-    del quant
-    s_pad = -(-s // _INNER) * _INNER
+    ``foldable``: allow bc > 1 (the in-cell sub-batch loop,
+    _build_kernel)."""
+    # Mosaic only needs the S block dim 8-aligned, so a single chunk can be
+    # exactly ceil8(S) — chunking to _INNER multiples padded 192 -> 256 and
+    # burned 33% of the kernel's (compute-bound) VPU work on masked rows.
+    s_pad = -(-s // 8) * 8
     best = None  # (cells, n_chunks, -bc) lexicographic
-    for bc in _FOLD_CANDIDATES:
+    for bc in _FOLD_CANDIDATES if foldable else (1,):
         if b % bc:
             continue
         per_row = bc * h * 128 * itemsize * 2 * 2  # K+V, double-buffered
-        sc = (_BLOCK_BUDGET // per_row) // _INNER * _INNER
-        if sc <= 0:
-            continue
-        sc = min(sc, s_pad)
-        n_chunks = -(-s_pad // sc)
+        budget_rows = _BLOCK_BUDGET // per_row
+        if budget_rows >= s_pad:
+            sc, n_chunks = s_pad, 1
+        else:
+            # Multi-chunk: keep _INNER-granular chunks (equal blocks).
+            sc = budget_rows // _INNER * _INNER
+            if sc <= 0:
+                continue
+            n_chunks = -(-s_pad // sc)
         cand = ((b // bc) * n_chunks, n_chunks, -bc, bc, sc)
         if best is None or cand[:3] < best[:3]:
             best = cand
@@ -123,11 +124,22 @@ def _lengths_for(q: jax.Array, length) -> jax.Array:
     return length
 
 
-def _row_spec(h, d, stacked):
-    """Per-cell (1, H, D) rows (q / k_new / v_new / out), chunk-invariant.
-    H here is bc*n_heads when batch elements are folded (see
-    _attention_call): grid index i covers the bc sequences whose head
-    stacks were merged into one leading dim by a free XLA reshape."""
+def _row_spec(h, d, stacked, bc=1):
+    """Per-cell (1[, bc], H, D) rows (q / k_new / v_new / out),
+    chunk-invariant. With bc > 1 the arrays carry an explicit bc axis
+    (batch split (B,)->(B/bc, bc), a free leading-dim reshape) and the
+    kernel loops the bc sub-batches inside one grid cell — amortizing the
+    per-cell fixed cost (DMA issue + prologue, ~8 us measured at 1.5B)
+    without any sublane merging (Mosaic only constrains the LAST TWO block
+    dims, so the bc axis is free; merging (B, H) -> bc*H instead needs an
+    8-aligned H, which 25 heads never is)."""
+    if bc > 1:
+        if stacked:
+            return pl.BlockSpec((1, bc, h, d),
+                                lambda i, j, ln, idx: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bc, h, d), lambda i, j, ln: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     if stacked:
         return pl.BlockSpec((1, h, d), lambda i, j, ln, idx: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -135,8 +147,15 @@ def _row_spec(h, d, stacked):
                         memory_space=pltpu.VMEM)
 
 
-def _srow_spec(h, stacked):
-    """Per-cell (1, H, 1) scale rows (deferred INT8 variants)."""
+def _srow_spec(h, stacked, bc=1):
+    """Per-cell (1[, bc], H, 1) scale rows (deferred INT8 variants)."""
+    if bc > 1:
+        if stacked:
+            return pl.BlockSpec((1, bc, h, 1),
+                                lambda i, j, ln, idx: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bc, h, 1), lambda i, j, ln: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     if stacked:
         return pl.BlockSpec((1, h, 1), lambda i, j, ln, idx: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -144,8 +163,16 @@ def _srow_spec(h, stacked):
                         memory_space=pltpu.VMEM)
 
 
-def _cache_spec(h, d, stacked, sc):
-    """One (1, H, sc, D) cache block per grid step."""
+def _cache_spec(h, d, stacked, sc, bc=1):
+    """One (1[, 1][, bc], H, sc, D) cache block per grid step."""
+    if bc > 1:
+        if stacked:
+            return pl.BlockSpec((1, 1, bc, h, sc, d),
+                                lambda i, j, ln, idx: (idx[0], i, 0, 0, j, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bc, h, sc, d),
+                            lambda i, j, ln: (i, 0, 0, j, 0),
+                            memory_space=pltpu.VMEM)
     if stacked:
         return pl.BlockSpec((1, 1, h, sc, d),
                             lambda i, j, ln, idx: (idx[0], i, 0, j, 0),
@@ -154,8 +181,18 @@ def _cache_spec(h, d, stacked, sc):
                         memory_space=pltpu.VMEM)
 
 
-def _plane_spec(h, stacked, sc):
-    """One (1, H, sc) scale-plane block per grid step (raw (…, H, S))."""
+def _plane_spec(h, stacked, sc, bc=1):
+    """One (1[, 1][, bc], H, sc) scale-plane block per grid step (planes
+    stored raw as (…, H, S); with bc > 1 the block's last two dims stay
+    (H, sc) — H equal to the full dim satisfies Mosaic regardless of
+    8-alignment)."""
+    if bc > 1:
+        if stacked:
+            return pl.BlockSpec((1, 1, bc, h, sc),
+                                lambda i, j, ln, idx: (idx[0], i, 0, 0, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bc, h, sc), lambda i, j, ln: (i, 0, 0, j),
+                            memory_space=pltpu.VMEM)
     if stacked:
         return pl.BlockSpec((1, 1, h, sc),
                             lambda i, j, ln, idx: (idx[0], i, 0, j),
@@ -164,31 +201,33 @@ def _plane_spec(h, stacked, sc):
                         memory_space=pltpu.VMEM)
 
 
-def _inner_slice(ref, stacked, c0, ln, plane=False):
-    """Static (H, ln, D) / (H, ln) slice of the resident block ref."""
-    if plane:
-        return ref[0, 0, :, c0:c0 + ln] if stacked else ref[0, :, c0:c0 + ln]
-    return (ref[0, 0, :, c0:c0 + ln, :] if stacked
-            else ref[0, :, c0:c0 + ln, :])
-
-
 def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
-                  scale, out_dtype):
-    """One flash-decode kernel body covering all four variants.
+                  scale, out_dtype, padded=True):
+    """One flash-decode kernel body covering all variants.
 
-    ``h`` is the MERGED leading dim bc * n_heads: when bc > 1 batch
-    elements are folded into the head axis OUTSIDE the kernel (a free XLA
-    reshape of default-layout (…, B, H, …) arrays — see _attention_call),
-    so bc sequences ride through the identical 3-D VPU code path as one
-    taller head stack. In-kernel alternatives measured/failed: a 4-D
-    (bc, H, …) formulation was 26% slower end-to-end (worse Mosaic
-    lowering); an in-kernel leading-dim reshape doesn't lower at all
-    ("unsupported shape cast" — it would merge across a 25-sublane
-    boundary). Only the valid-length mask knows about the fold: rows
-    belong to bc different sequences with different lengths.
+    ``h`` is the per-sequence head count. With bc > 1 the kernel serially
+    processes bc sub-batches per grid cell (a static python loop) — every
+    sub-batch runs the identical proven 3-D math on its own (h, …) slices,
+    so there is no sublane merging and no 4-D vector lowering; only the
+    per-cell fixed cost (DMA issue for up to 9 operands + prologue) is
+    amortized bc-fold. Earlier alternatives measured/failed: vectorizing
+    across a 4-D (bc, H, …) block was ~4%% slower (worse Mosaic lowering);
+    merging (B, H) -> bc*H outside the kernel retiled the scale planes
+    (40%% regression) and an in-kernel merge doesn't lower at all.
     """
-    hg = h // bc  # heads per sequence (mask group size)
     inner = _inner_rows(1, h)
+    # Dynamic-trip-count inner loop (compute ∝ live length, not capacity)
+    # wants uniform full-size iterations: shrink inner to the largest
+    # 8-multiple divisor of sc (e.g. 192 -> 96). QUANT variants can't use
+    # it: the scale planes' minor dim is S (lanes), and Mosaic requires
+    # dynamic lane-dim offsets to be 128-aligned — measured error; the
+    # float cache slices S on the SUBLANE dim (D minor), which is fine.
+    dyn_inner = False
+    if not quant:
+        for cand in range(min(inner, sc), 31, -8):
+            if sc % cand == 0:
+                inner, dyn_inner = cand, True
+                break
 
     def kernel(*args):
         if stacked:
@@ -212,96 +251,149 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
         i = pl.program_id(0)
         j = pl.program_id(1)
 
-        def valid_mask(c0, ln):
-            """(H, ln) valid-row mask; row r belongs to sequence r // hg.
-            Built with elementwise selects on a row-id iota — Mosaic can't
-            shape-cast a (bc,) scalar vector to (bc, 1, 1) for
-            broadcasting, nor concat across a non-8-aligned sublane
-            boundary."""
-            ids = j * sc + c0 + jax.lax.broadcasted_iota(
-                jnp.int32, (h, ln), 1)
-            if bc == 1:
-                return ids < len_ref[i]
-            rowid = jax.lax.broadcasted_iota(jnp.int32, (h, ln), 0) // hg
-            n = jnp.full((h, ln), len_ref[i * bc], jnp.int32)
-            for t in range(1, bc):
-                n = jnp.where(rowid == t, len_ref[i * bc + t], n)
-            return ids < n
+        # Sub-batch accessors: index the bc axis with a static t, slice the
+        # chunk window straight off the ref (reads only the slice).
+        def row(ref, t):
+            return ref[0, t] if bc > 1 else ref[0]
 
-        qf = q_ref[0].astype(jnp.float32)  # (H, D)
+        def cache_slice(ref, t, c0, ln):
+            idx = pl.ds(c0, ln)  # c0 static (python loop) or traced (fori)
+            if stacked:
+                return (ref[0, 0, t, :, idx, :] if bc > 1
+                        else ref[0, 0, :, idx, :])
+            return (ref[0, t, :, idx, :] if bc > 1
+                    else ref[0, :, idx, :])
 
-        # Running softmax state is carried as VALUES through the inner loop
-        # (scratch read-modify-writes per iteration measured ~2.6x slower);
-        # scratch is touched only at grid-step boundaries, and not at all
-        # when the whole cache fits one grid step.
-        if deferred:
-            # Seed the recurrence with the self-term: running max = the
-            # self score, denominator = exp(0) = 1, accumulator = the
-            # (scaled) new V row.
-            init_m = jnp.sum(
-                kn_ref[0].astype(jnp.float32) * qf, axis=-1, keepdims=True
-            ) * scale
-            if quant:
-                init_m = init_m * ksn_ref[0].astype(jnp.float32)
-            init_den = jnp.ones((h, 1), jnp.float32)
-            init_acc = vn_ref[0].astype(jnp.float32)
-            if quant:
-                init_acc = init_acc * vsn_ref[0].astype(jnp.float32)
-        else:
-            init_m = jnp.full((h, 1), MASK_VALUE, jnp.float32)
-            init_den = jnp.zeros((h, 1), jnp.float32)
-            init_acc = jnp.zeros((h, d), jnp.float32)
-        if n_chunks == 1:
-            m, den, acc = init_m, init_den, init_acc
-        else:
-            first = j == 0
-            m = jnp.where(first, init_m, m_s[:])
-            den = jnp.where(first, init_den, den_s[:])
-            acc = jnp.where(first, init_acc, acc_s[:])
+        def plane_slice(ref, t, c0, ln):
+            idx = pl.ds(c0, ln)
+            if stacked:
+                return (ref[0, 0, t, :, idx] if bc > 1
+                        else ref[0, 0, :, idx])
+            return (ref[0, t, :, idx] if bc > 1
+                    else ref[0, :, idx])
 
-        # Inner loop over the resident block in `inner`-row steps: bounds
-        # the f32 temporaries while the outer grid keeps DMA blocks big.
-        for c0 in range(0, sc, inner):
-            ln = min(inner, sc - c0)
-            kc = _inner_slice(k_ref, stacked, c0, ln).astype(jnp.float32)
-            scores = jnp.sum(kc * qf[:, None, :], axis=-1) * scale
-            if quant:
-                scores = scores * _inner_slice(
-                    ks_ref, stacked, c0, ln, plane=True
-                ).astype(jnp.float32)
-            valid = valid_mask(c0, ln)
-            scores = jnp.where(valid, scores, MASK_VALUE)
-            m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-            corr = jnp.exp(m - m_new)
-            e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)   # (H, ln)
-            den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
-            if quant:  # V scales weight the sum, never the denominator
-                # Re-mask after the multiply: block padding is uninitialized
-                # and 0 * NaN = NaN.
-                e = jnp.where(valid, e * _inner_slice(
-                    vs_ref, stacked, c0, ln, plane=True
-                ).astype(jnp.float32), 0.0)
-            vc = _inner_slice(v_ref, stacked, c0, ln).astype(jnp.float32)
-            # Zero invalid V rows too (same NaN concern). Mask widened to
-            # f32 first — Mosaic only supports non-no-op minor-dim inserts
-            # on 32-bit types, not bool.
-            validf = valid.astype(jnp.float32)
-            vc = jnp.where(validf[:, :, None] > 0.0, vc, 0.0)
-            acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
-            m = m_new
+        def scratch_read(sref, t):
+            return sref[t] if bc > 1 else sref[:]
 
-        if n_chunks == 1:
-            out_ref[0] = (acc / den).astype(out_dtype)
-        else:
-            @pl.when(j < n_chunks - 1)
-            def _carry():
-                m_s[:] = m
-                den_s[:] = den
-                acc_s[:] = acc
+        def scratch_write(sref, t, val):
+            if bc > 1:
+                sref[t] = val
+            else:
+                sref[:] = val
 
-            @pl.when(j == n_chunks - 1)
-            def _emit():
-                out_ref[0] = (acc / den).astype(out_dtype)
+        for t in range(bc):
+            qf = row(q_ref, t).astype(jnp.float32)  # (H, D)
+            seq_len = len_ref[i * bc + t] if bc > 1 else len_ref[i]
+
+            # Running softmax state is carried as VALUES through the inner
+            # loop (scratch read-modify-writes per iteration measured ~2.6x
+            # slower); scratch is touched only at grid-step boundaries, and
+            # not at all when the whole cache fits one grid step.
+            if deferred:
+                # Seed the recurrence with the self-term: running max = the
+                # self score, denominator = exp(0) = 1, accumulator = the
+                # (scaled) new V row.
+                init_m = jnp.sum(
+                    row(kn_ref, t).astype(jnp.float32) * qf,
+                    axis=-1, keepdims=True,
+                ) * scale
+                if quant:
+                    init_m = init_m * row(ksn_ref, t).astype(jnp.float32)
+                init_den = jnp.ones((h, 1), jnp.float32)
+                init_acc = row(vn_ref, t).astype(jnp.float32)
+                if quant:
+                    init_acc = init_acc * row(vsn_ref, t).astype(jnp.float32)
+            else:
+                init_m = jnp.full((h, 1), MASK_VALUE, jnp.float32)
+                init_den = jnp.zeros((h, 1), jnp.float32)
+                init_acc = jnp.zeros((h, d), jnp.float32)
+            if n_chunks == 1:
+                m, den, acc = init_m, init_den, init_acc
+            else:
+                first = j == 0
+                m = jnp.where(first, init_m, scratch_read(m_s, t))
+                den = jnp.where(first, init_den, scratch_read(den_s, t))
+                acc = jnp.where(first, init_acc, scratch_read(acc_s, t))
+
+            # Inner loop over the resident block in `inner`-row steps:
+            # bounds the f32 temporaries while the grid keeps DMA blocks
+            # big. ``c0`` may be a traced offset (dynamic trip count).
+            def fold_chunk(c0, ln, m, den, acc):
+                kc = cache_slice(k_ref, t, c0, ln).astype(jnp.float32)
+                scores = jnp.sum(kc * qf[:, None, :], axis=-1) * scale
+                if quant:
+                    scores = scores * plane_slice(
+                        ks_ref, t, c0, ln
+                    ).astype(jnp.float32)
+                ids = j * sc + c0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (h, ln), 1)
+                valid = ids < seq_len
+                scores = jnp.where(valid, scores, MASK_VALUE)
+                m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+                corr = jnp.exp(m - m_new)
+                e = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # (H, ln)
+                den = den * corr + jnp.sum(e, axis=-1, keepdims=True)
+                if quant:  # V scales weight the sum, never the denominator
+                    ev = e * plane_slice(
+                        vs_ref, t, c0, ln
+                    ).astype(jnp.float32)
+                    if padded:
+                        # Re-mask after the multiply: rows past S are block
+                        # padding — uninitialized, and 0 * NaN = NaN. (Rows
+                        # within S but past the valid length hold stale but
+                        # FINITE data, so when the chunking covers exactly
+                        # ceil8(S) these two full-size re-masks vanish —
+                        # they were ~2 of the ~12 VPU passes per chunk.)
+                        ev = jnp.where(valid, ev, 0.0)
+                    e = ev
+                vc = cache_slice(v_ref, t, c0, ln).astype(jnp.float32)
+                if padded:
+                    # Zero padded V rows too (same NaN concern). Mask
+                    # widened to f32 first — Mosaic only supports non-no-op
+                    # minor-dim inserts on 32-bit types, not bool.
+                    validf = valid.astype(jnp.float32)
+                    vc = jnp.where(validf[:, :, None] > 0.0, vc, 0.0)
+                acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
+                return m_new, den, acc
+
+            if dyn_inner:
+                # Dynamic trip count: only iterate chunks that hold valid
+                # rows — decode compute becomes ∝ the LIVE length, not the
+                # cache capacity (a cell at length 64 of a 192-row block
+                # does 1/2 the passes; early serving slots skip almost
+                # everything). Requires inner | sc so every iteration is
+                # full-size.
+                valid_rows = jnp.clip(seq_len - j * sc, 0, sc)
+                n_dyn = (valid_rows + inner - 1) // inner
+
+                def body_fn(it, carry):
+                    return fold_chunk(it * inner, inner, *carry)
+
+                m, den, acc = jax.lax.fori_loop(
+                    0, n_dyn, body_fn, (m, den, acc))
+            else:
+                for c0 in range(0, sc, inner):
+                    m, den, acc = fold_chunk(c0, min(inner, sc - c0),
+                                             m, den, acc)
+
+            if n_chunks == 1:
+                if bc > 1:
+                    out_ref[0, t] = (acc / den).astype(out_dtype)
+                else:
+                    out_ref[0] = (acc / den).astype(out_dtype)
+            else:
+                @pl.when(j < n_chunks - 1)
+                def _carry(t=t, m=m, den=den, acc=acc):
+                    scratch_write(m_s, t, m)
+                    scratch_write(den_s, t, den)
+                    scratch_write(acc_s, t, acc)
+
+                @pl.when(j == n_chunks - 1)
+                def _emit(t=t, acc=acc, den=den):
+                    if bc > 1:
+                        out_ref[0, t] = (acc / den).astype(out_dtype)
+                    else:
+                        out_ref[0] = (acc / den).astype(out_dtype)
 
     return kernel
 
@@ -314,72 +406,73 @@ def _attention_call(
     stacked = layer is not None
     b, h, d = q.shape
     s = k_cache.shape[-2]
-    bc, sc = _pick_block(b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant)
-    n_chunks = pl.cdiv(-(-s // _INNER) * _INNER, sc)
+    bc, sc = _pick_block(b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant,
+                         foldable=True)
+    n_chunks = pl.cdiv(-(-s // 8) * 8, sc)  # same s_pad as _pick_block
     scale = 1.0 / math.sqrt(d)
-    # Fold bc batch elements into the head axis: (…, B, H, …) ->
-    # (…, B/bc, bc*H, …). Free on default layouts (a row-major relabeling
-    # of two adjacent leading dims) and keeps the kernel's proven 3-D
-    # shapes; the kernel can't do this merge itself (Mosaic rejects
-    # reshapes across a non-8-aligned sublane boundary).
-    bg, hm = b // bc, bc * h
+    # Fold: split the batch (B,) -> (B/bc, bc) on every operand — a free
+    # leading-dim reshape; the kernel loops the bc sub-batches per cell.
+    bg = b // bc
 
     def fold_rows(a):  # (B, H, D|1)
-        return a if bc == 1 else a.reshape(bg, hm, *a.shape[2:])
+        return a if bc == 1 else a.reshape(bg, bc, *a.shape[1:])
 
     def fold_cache(a):  # (B, H, S[, D]) or stacked (L, B, H, S[, D])
         if bc == 1:
             return a
         if stacked:
-            return a.reshape(a.shape[0], bg, hm, *a.shape[3:])
-        return a.reshape(bg, hm, *a.shape[2:])
+            return a.reshape(a.shape[0], bg, bc, *a.shape[2:])
+        return a.reshape(bg, bc, *a.shape[1:])
 
-    in_specs = [_row_spec(hm, d, stacked)]
+    in_specs = [_row_spec(h, d, stacked, bc)]
     inputs = [fold_rows(q)]
     if deferred:
-        in_specs.append(_row_spec(hm, d, stacked))
+        in_specs.append(_row_spec(h, d, stacked, bc))
         inputs.append(fold_rows(k_new.astype(q.dtype) if not quant else k_new))
         if quant:
-            in_specs.append(_srow_spec(hm, stacked))
+            in_specs.append(_srow_spec(h, stacked, bc))
             inputs.append(fold_rows(ks_new[..., None]))
-        in_specs.append(_row_spec(hm, d, stacked))
+        in_specs.append(_row_spec(h, d, stacked, bc))
         inputs.append(fold_rows(v_new.astype(q.dtype) if not quant else v_new))
         if quant:
-            in_specs.append(_srow_spec(hm, stacked))
+            in_specs.append(_srow_spec(h, stacked, bc))
             inputs.append(fold_rows(vs_new[..., None]))
-    in_specs.append(_cache_spec(hm, d, stacked, sc))
+    in_specs.append(_cache_spec(h, d, stacked, sc, bc))
     inputs.append(fold_cache(k_cache))
     if quant:
-        in_specs.append(_plane_spec(hm, stacked, sc))
+        in_specs.append(_plane_spec(h, stacked, sc, bc))
         inputs.append(fold_cache(k_scale))
-    in_specs.append(_cache_spec(hm, d, stacked, sc))
+    in_specs.append(_cache_spec(h, d, stacked, sc, bc))
     inputs.append(fold_cache(v_cache))
     if quant:
-        in_specs.append(_plane_spec(hm, stacked, sc))
+        in_specs.append(_plane_spec(h, stacked, sc, bc))
         inputs.append(fold_cache(v_scale))
 
     kernel = _build_kernel(
         stacked=stacked, quant=quant, deferred=deferred, bc=bc,
-        h=hm, d=d, n_chunks=n_chunks, sc=sc, scale=scale, out_dtype=q.dtype,
+        h=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale, out_dtype=q.dtype,
+        padded=n_chunks * sc > s,
     )
+    scratch_lead = (bc,) if bc > 1 else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if stacked else 1,
         grid=(bg, n_chunks),
         in_specs=in_specs,
-        out_specs=_row_spec(hm, d, stacked),
+        out_specs=_row_spec(h, d, stacked, bc),
         scratch_shapes=[
-            pltpu.VMEM((hm, 1), jnp.float32),  # running max
-            pltpu.VMEM((hm, 1), jnp.float32),  # running denominator
-            pltpu.VMEM((hm, d), jnp.float32),  # running V accumulator
+            pltpu.VMEM((*scratch_lead, h, 1), jnp.float32),  # running max
+            pltpu.VMEM((*scratch_lead, h, 1), jnp.float32),  # running denom
+            pltpu.VMEM((*scratch_lead, h, d), jnp.float32),  # running V acc
         ],
     )
     scalars = [_lengths_for(q, length)]
     if stacked:
         scalars.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
+    out_shape = ((bg, bc, h, d) if bc > 1 else (bg, h, d))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bg, hm, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=interpret,
     )(*scalars, *inputs)
     return out if bc == 1 else out.reshape(b, h, d)

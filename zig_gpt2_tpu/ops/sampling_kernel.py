@@ -33,6 +33,7 @@ def sample_categorical(
     logits: jax.Array,
     seed: jax.Array,
     temperature: float,
+    thresh: jax.Array | None = None,
     *,
     interpret: bool = False,
 ) -> jax.Array:
@@ -44,13 +45,25 @@ def sample_categorical(
     caller holding persistent per-slot seeds still gets fresh noise, just
     correlated within a block). Callers wanting fully independent rows
     should derive all B seeds from one key per step, as
-    runtime/sampling.py does."""
+    runtime/sampling.py does.
+
+    thresh: optional (B,) f32 per-row logit cutoff — rows with
+    ``logit < thresh`` are excluded from the draw. This is how top-k and
+    top-p ride the kernel: the caller computes the k-th-largest logit (or
+    the nucleus boundary logit) OUTSIDE and the kernel turns it into a
+    support mask, keeping ties inclusive exactly like the jnp path
+    (runtime/sampling.py)."""
     b, v = logits.shape
     inv_t = 1.0 / float(temperature)
     rows = 8  # sublane-aligned row block; VMEM per program = 8V f32 * ~3
     n_blocks = pl.cdiv(b, rows)
+    masked = thresh is not None
 
-    def kernel(seed_ref, x_ref, out_ref):
+    def kernel(seed_ref, *refs):
+        if masked:
+            thr_ref, x_ref, out_ref = refs
+        else:
+            x_ref, out_ref = refs
         i = pl.program_id(0)
         pltpu.prng_seed(seed_ref[i])
         bits = pltpu.prng_random_bits((rows, v))
@@ -61,18 +74,28 @@ def sample_categorical(
             mantissa | jnp.uint32(0x3F800000), jnp.float32
         ) - 1.0  # U[0, 1)
         gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
-        z = x_ref[:].astype(jnp.float32) * inv_t + gumbel  # (rows, V)
+        x = x_ref[:].astype(jnp.float32)
+        z = x * inv_t + gumbel  # (rows, V)
+        if masked:
+            z = jnp.where(x >= thr_ref[:], z, -jnp.inf)
         m = jnp.max(z, axis=-1, keepdims=True)
         ids = jax.lax.broadcasted_iota(jnp.int32, (rows, v), 1)
         out_ref[:] = jnp.min(jnp.where(z == m, ids, v), axis=-1, keepdims=True)
 
+    in_specs = []
+    extra = []
+    if masked:
+        in_specs.append(pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        extra.append(
+            jnp.asarray(thresh, jnp.float32).reshape(b, 1)
+        )
+    in_specs.append(pl.BlockSpec((rows, v), lambda i, s: (i, 0),
+                                 memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((rows, v), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -89,5 +112,5 @@ def sample_categorical(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
         interpret=interpret,
-    )(block_seeds, logits)
+    )(block_seeds, *extra, logits)
     return out[:, 0]

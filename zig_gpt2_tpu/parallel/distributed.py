@@ -24,6 +24,47 @@ import jax
 log = logging.getLogger(__name__)
 
 
+# XLA flags for collective-compute overlap (SURVEY §2.4). The latency-hiding
+# scheduler lets XLA start TP all-gathers/reduce-scatters while independent
+# layer compute runs, instead of serializing collective → compute; async
+# collective fusion + multiple async copies are its enablers on TPU. These
+# must be in XLA_FLAGS BEFORE the backend initializes (first jax API call
+# that touches devices), hence a flag-string helper rather than a runtime
+# switch. Effect is only measurable on real multi-chip hardware — wired
+# here + in cli/bench so the scaling run is one flag when hardware exists.
+OVERLAP_FLAGS = (
+    "--xla_tpu_enable_async_collective_fusion=true",
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+    "--xla_tpu_enable_async_collective_fusion_multiple_steps=true",
+    "--xla_tpu_overlap_compute_collective_tc=true",
+    "--xla_enable_async_all_gather=true",
+    "--xla_enable_async_collective_permute=true",
+    "--xla_tpu_data_parallel_opt_different_sized_ops=true",
+)
+
+
+def enable_collective_overlap() -> bool:
+    """Append the overlap flags to XLA_FLAGS. Returns False (no-op, with a
+    warning) if the XLA backend is already initialized — the flags must be
+    set before first device use. Idempotent."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    missing = [f for f in OVERLAP_FLAGS if f not in flags]
+    if not missing:
+        return True
+    try:
+        initialized = jax._src.xla_bridge._backends  # noqa: SLF001
+    except Exception:
+        initialized = {}
+    if initialized:
+        log.warning(
+            "XLA backend already initialized; collective-overlap flags "
+            "ignored — set them before the first jax device call"
+        )
+        return False
+    os.environ["XLA_FLAGS"] = " ".join([flags, *missing]).strip()
+    return True
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -58,7 +58,13 @@ def _linear_specs(p: Optional[Dict[str, Any]], role: str) -> Dict[str, Any]:
         return {"w": w_spec, "b": b_spec}
     out = {}
     for name in p:
-        if name in ("w", "qw", "qw4", "scale"):
+        if name == "scale" and not col and p[name].shape[-2] == 1:
+            # Per-channel scales under a row-parallel layer: the single
+            # scale row spans ALL of K — replicate it (it multiplies the
+            # output columns after the psum; sharding the size-1 group
+            # axis is impossible anyway).
+            out[name] = P(None, None, None)
+        elif name in ("w", "qw", "qw4", "scale"):
             out[name] = w_spec
         elif name == "b":
             out[name] = b_spec
@@ -162,6 +168,8 @@ def prepare_params(params, config: GPTConfig, mesh: Mesh):
     don't survive row insertion) — quantize after padding instead
     (quant.quantize_params(tp=...)), as cli.py does.
     """
+    import dataclasses
+
     from zig_gpt2_tpu.parallel import sharding as psh
 
     tp = mesh.shape[MODEL_AXIS]
@@ -173,4 +181,7 @@ def prepare_params(params, config: GPTConfig, mesh: Mesh):
             "from float weights after padding (cli.py order: load → "
             "pad_for_tp → quantize_params(tp=tp))"
         ) from e
+    # Carry the mesh in the config: kernel dispatch sites inside the scan
+    # bodies use it to shard_map the Pallas kernels (parallel/shard_kernels).
+    config = dataclasses.replace(config, mesh=mesh)
     return jax.device_put(params, param_shardings(mesh, config, params)), config

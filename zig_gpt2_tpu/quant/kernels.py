@@ -29,30 +29,89 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kc_for(k: int, group: int, int4: bool) -> int:
+    """Dequant chunk rows (0 = whole tile). ~512 keeps the f32 chunk
+    temporaries at ~10·kc·TN bytes (vs 10·K·TN for whole-tile dequant —
+    the VMEM hog that forced block_n down to 128/256 and left the kernel
+    floor at ~0.5 us/program of fixed cost). Chunks must cover whole scale
+    groups, stay 128-aligned for the x lane slices, and — for int4 —
+    divide K/2 so no chunk straddles the nibble halves."""
+    limit = k // 2 if int4 else k
+    kc = max(512, group)
+    while kc >= max(group, 128):
+        if limit % kc == 0:
+            return kc
+        kc //= 2
+    return 0  # tiny-K fallback: whole-tile dequant
+
+
 def _qmm_kernel(x_ref, qw_ref, scale_ref, out_ref, *, n_groups, group, int4):
     q = qw_ref[:]
     if q.ndim == 3:  # stacked mode: (1, Kp, TN) block — squeeze the layer dim
         q = q[0]
-    if int4:
-        # Half-split layout (quantize.unpack_int4): low nibbles are rows
-        # [0, K/2), high nibbles rows [K/2, K). Nibble extraction is done in
-        # int32 (Mosaic has no 8-bit vector shifts); arithmetic shifts
-        # sign-extend. Concatenation is along sublanes (static) — the layout
-        # exists precisely so unpacking never interleaves lanes.
-        p32 = q.astype(jnp.int32)
-        q = jnp.concatenate([(p32 << 28) >> 28, (p32 << 24) >> 28], axis=0)
-    # Broadcast the (n_groups, TN) scales to (K, TN) rows and dequantize.
-    # (broadcast + sublane-merging reshape — jnp.repeat lowers to scatter,
-    # which Mosaic does not implement; the lane axis stays untouched.)
     sc = scale_ref[:]
     if sc.ndim == 3:
         sc = sc[0]
     tile_n = sc.shape[-1]
-    scale_full = jnp.broadcast_to(
-        sc[:, None, :], (n_groups, group, tile_n)
-    ).reshape(n_groups * group, tile_n)
-    w = (q.astype(jnp.float32) * scale_full).astype(x_ref.dtype)
-    out_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    k = q.shape[0] * (2 if int4 else 1)
+    kc = _kc_for(k, group, int4)
+    b = x_ref.shape[0]
+
+    if not kc:  # tiny-K fallback: whole-tile dequant (original formulation)
+        if int4:
+            # Half-split layout (quantize.unpack_int4): low nibbles are
+            # rows [0, K/2), high nibbles rows [K/2, K). Extraction in
+            # int32 (Mosaic has no 8-bit vector shifts); the concat is
+            # along sublanes (static) — the layout exists precisely so
+            # unpacking never interleaves lanes.
+            p32 = q.astype(jnp.int32)
+            q = jnp.concatenate([(p32 << 28) >> 28, (p32 << 24) >> 28],
+                                axis=0)
+        scale_full = jnp.broadcast_to(
+            sc[:, None, :], (n_groups, group, tile_n)
+        ).reshape(n_groups * group, tile_n)
+        w = (q.astype(jnp.float32) * scale_full).astype(x_ref.dtype)
+        out_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        return
+
+    # K-chunked dequant + MXU partial accumulation: convert/scale only
+    # kc rows at a time (bounds the f32 temporaries to kc·TN), one MXU dot
+    # per chunk accumulating into f32. For int4 the chunk boundary always
+    # falls inside one nibble half (kc | K/2), so each chunk extracts a
+    # single nibble — half the shifts of the whole-tile unpack.
+    #
+    # PER-CHANNEL scales (n_groups == 1) take the fast path: the kernel is
+    # VPU-elementwise-bound (~3-4 passes over all K·TN dequant elements ≈
+    # the whole 35 us/tile — measured invariant to tiling/DMA size), so
+    # skipping the scale broadcast+multiply+f32 round-trip and applying
+    # one O(B·TN) post-scale after the dots removes most of the cost:
+    # int8 values convert to bf16 EXACTLY, and y = (x @ q) ⊗ scale_n is
+    # algebraically dequantize-then-matmul when the scale is per-column.
+    per_channel = n_groups == 1
+    acc = jnp.zeros((b, tile_n), jnp.float32)
+    for c0 in range(0, k, kc):
+        if int4:
+            half = k // 2
+            if c0 < half:  # low nibbles: packed rows [c0, c0+kc)
+                p32 = q[c0:c0 + kc].astype(jnp.int32)
+                qi = (p32 << 28) >> 28
+            else:  # high nibbles: packed rows [c0-half, ...)
+                p32 = q[c0 - half:c0 - half + kc].astype(jnp.int32)
+                qi = (p32 << 24) >> 28
+        else:
+            qi = q[c0:c0 + kc]
+        if per_channel:
+            w = qi.astype(x_ref.dtype)
+        else:
+            gc = kc // group
+            scale_full = jnp.broadcast_to(
+                sc[c0 // group:c0 // group + gc][:, None, :],
+                (gc, group, tile_n),
+            ).reshape(kc, tile_n)
+            w = (qi.astype(jnp.float32) * scale_full).astype(x_ref.dtype)
+        acc = acc + jnp.dot(x_ref[:, c0:c0 + kc], w,
+                            preferred_element_type=jnp.float32)
+    out_ref[:] = acc * sc[0][None, :] if per_channel else acc
 
 
 @functools.partial(jax.jit, static_argnames=("int4", "block_n", "interpret"))
@@ -86,9 +145,19 @@ def qmm(
     n_groups = scale.shape[-2]
     group = k // n_groups
     if not block_n:
-        # Keep the per-program VMEM footprint (int tile + f32 scale_full +
-        # activation-dtype weight) near ~6 MB with double buffering.
-        block_n = 256 if k <= 4096 else 128
+        # Dtype-aware tiles: pick the widest block whose double-buffered
+        # int tile + ~10 B/elem of K-chunked dequant temporaries (see
+        # _qmm_kernel) fit ~8 MB. int4's half-size rows earn 2x the width
+        # of int8 — fewer programs means less of the ~0.5 us/program fixed
+        # cost that made the old 128/256-wide tiles dtype-invariant
+        # (BENCHMARKS.md: 25 us for a 1600x6400 tile in EVERY dtype).
+        rows = qw.shape[-2]
+        kc = _kc_for(k, group, int4) or k
+        block_n = 128
+        for bn in (1024, 512, 256, 128):
+            if 2 * rows * bn + 10 * kc * bn <= 8 * 1024 * 1024:
+                block_n = bn
+                break
     block_n = min(block_n, n)
     kernel = functools.partial(
         _qmm_kernel, n_groups=n_groups, group=group, int4=int4

@@ -66,10 +66,23 @@ def quantize_linear(
     tp: int = 1,
 ) -> Dict[str, Any]:
     """Quantize one linear layer's ``{"w", "b"?}`` dict. ``w`` is
-    (..., K, N); K is the contraction axis (ops/layers.py convention)."""
+    (..., K, N); K is the contraction axis (ops/layers.py convention).
+
+    INT8 defaults to PER-CHANNEL scales (group_size = K, scale (1, N)):
+    the fused kernel is VPU-elementwise-bound, and a per-column scale lets
+    it skip the per-element dequant multiply entirely (one int8→bf16
+    convert + an O(B·N) post-scale — measured ~2x the grouped kernel;
+    per-channel INT8 weight-only is the standard near-lossless scheme).
+    INT4 keeps grouped scales (group_size=K would cost real PPL at 4
+    bits). Pass ``group_size`` explicitly for the old grouped-INT8 layout.
+    Per-channel scales are TP-agnostic (replicated; applied after the
+    row-parallel psum), so ``tp`` only constrains grouped modes."""
     w = jnp.asarray(p["w"])
     k = w.shape[-2]
-    g = group_size or pick_group_size(k, mode, tp)
+    if group_size is None and mode == "int8":
+        g = k  # per-channel
+    else:
+        g = group_size or pick_group_size(k, mode, tp)
     if k % g:
         raise ValueError(f"K={k} not divisible by group_size={g}")
     qmax = 7.0 if mode == "int4" else 127.0

@@ -156,7 +156,9 @@ class ContinuousBatcher:
 
             from zig_gpt2_tpu.parallel import mesh as pmesh
 
-            self._cache_fmt = pmesh.cache_shardings(mesh, config, quant=kv_quant)
+            shardings = pmesh.cache_shardings(mesh, config, quant=kv_quant)
+            # TPU: pin layout AND sharding together (see cache_formats).
+            self._cache_fmt = cache_formats(self.cache, shardings) or shardings
             self._data_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
         else:
             self._cache_fmt = None if config.spmd else cache_formats(self.cache)

@@ -32,23 +32,28 @@ from zig_gpt2_tpu.models import gpt2
 from zig_gpt2_tpu.runtime.sampling import sample
 
 
-def cache_formats(cache_template):
-    """Explicit DEFAULT-layout formats for the KV-cache leaves (TPU,
-    single-device). XLA's layout assignment otherwise picks an S-minor
-    entry/exit layout for the (…, S, D=64) caches (it minimizes tile
-    padding) while the loop body needs the default D-minor layout for the
-    Pallas custom calls — producing full-cache relayout copies at every
-    step boundary (measured 47% of the 1.5B B=16 step). Pinning the
-    boundary to the default layout deletes them. Returns None off-TPU."""
+def cache_formats(cache_template, shardings=None):
+    """Explicit DEFAULT-layout formats for the KV-cache leaves (TPU).
+    XLA's layout assignment otherwise picks an S-minor entry/exit layout
+    for the (…, S, D=64) caches (it minimizes tile padding) while the loop
+    body needs the default D-minor layout for the Pallas custom calls —
+    producing full-cache relayout copies at every step boundary (measured
+    47% of the 1.5B B=16 step). Pinning the boundary to the default layout
+    deletes them. ``shardings``: an optional NamedSharding tree (mesh
+    serving) — the Format then pins layout AND sharding together.
+    Returns None off-TPU."""
     if jax.default_backend() != "tpu":
         return None
     from jax.experimental.layout import Format, Layout
     from jax.sharding import SingleDeviceSharding
 
-    sh = SingleDeviceSharding(jax.devices()[0])
+    if shardings is None:
+        sh = SingleDeviceSharding(jax.devices()[0])
+        shardings = jax.tree.map(lambda x: sh, cache_template)
     return jax.tree.map(
-        lambda x: Format(Layout(major_to_minor=tuple(range(x.ndim))), sh),
+        lambda x, s: Format(Layout(major_to_minor=tuple(range(x.ndim))), s),
         cache_template,
+        shardings,
     )
 
 
@@ -171,7 +176,18 @@ class InferenceEngine:
 
             from zig_gpt2_tpu.parallel import mesh as pmesh
 
-            self._cache_fmt = pmesh.cache_shardings(mesh, config, quant=kv_quant)
+            shardings = pmesh.cache_shardings(mesh, config, quant=kv_quant)
+            # On TPU, pin layout AND sharding together (see cache_formats);
+            # plain NamedShardings elsewhere.
+            self._cache_fmt = cache_formats(
+                jax.eval_shape(
+                    lambda: gpt2.init_kv_cache(
+                        config, batch_size, self.max_seq,
+                        dtype=self.cache_dtype, quant=kv_quant,
+                    )
+                ),
+                shardings,
+            ) or shardings
             self._data_sharding = {
                 1: NamedSharding(mesh, P(pmesh.DATA_AXIS)),
                 2: NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),

@@ -54,8 +54,6 @@ def sample(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if (
         use_kernel
-        and top_k is None
-        and top_p is None
         and jax.default_backend() == "tpu"
         and not _under_spmd()
     ):
@@ -67,8 +65,33 @@ def sample(
         seeds = jax.random.randint(
             key, (logits.shape[0],), 0, jnp.iinfo(jnp.int32).max, jnp.int32
         )
-        return sample_categorical(logits, seeds, temperature)
-    logits = logits.astype(jnp.float32) / temperature
+        thresh = None
+        if (top_k is not None and top_k < logits.shape[-1]) or (
+            top_p is not None and top_p < 1.0
+        ):
+            # top-k / top-p both reduce to "keep logits >= a per-row
+            # threshold" (the kept set is always a prefix of the sorted
+            # row). Compute the kept SET with the SAME masking code as the
+            # jnp path, then hand the kernel the smallest kept RAW logit
+            # as the threshold (an actual array element — no /T·T rounding
+            # at the boundary) — skipping the (B, V) threefry noise and
+            # categorical reduction.
+            raw = logits.astype(jnp.float32)
+            scaled = _mask_logits(raw / temperature, top_k, top_p)
+            thresh = jnp.min(
+                jnp.where(jnp.isneginf(scaled), jnp.inf, raw), axis=-1
+            )
+        return sample_categorical(logits, seeds, temperature, thresh)
+    logits = _mask_logits(logits.astype(jnp.float32) / temperature,
+                          top_k, top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def _mask_logits(
+    logits: jax.Array, top_k: Optional[int], top_p: Optional[float]
+) -> jax.Array:
+    """Set logits outside the top-k / nucleus support to -inf (shared by
+    the jnp sampling path and the kernel's threshold derivation)."""
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -84,4 +107,4 @@ def sample(
             jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
         )
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
