@@ -23,7 +23,7 @@ def main() -> None:
     p.add_argument("--prompt-len", type=int, default=64)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--quant", default=None, choices=["int8", "int4"])
+    p.add_argument("--quant", default=None, choices=["int8", "int4", "w8a8"])
     p.add_argument("--kv-quant", default=None, choices=["int8"])
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--mode", default="decode",
@@ -56,6 +56,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     params = gpt2.init_params(config, jax.random.PRNGKey(0), dtype=dtype)
 
+    wmode = "int8" if args.quant == "w8a8" else args.quant
     mesh = None
     if args.mesh:
         from zig_gpt2_tpu.parallel import distributed as pdist
@@ -71,7 +72,7 @@ def main() -> None:
         if args.quant:
             from zig_gpt2_tpu.quant import quantize as q
 
-            params = q.quantize_params(params, mode=args.quant, tp=tp)
+            params = q.quantize_params(params, mode=wmode, tp=tp)
         params, config = pmesh.prepare_params(params, config, mesh)
         if args.seq_parallel:
             import dataclasses
@@ -80,7 +81,11 @@ def main() -> None:
     elif args.quant:
         from zig_gpt2_tpu.quant import quantize as q
 
-        params = q.quantize_params(params, mode=args.quant)
+        params = q.quantize_params(params, mode=wmode)
+    if args.quant == "w8a8":
+        import dataclasses
+
+        config = dataclasses.replace(config, act_quant=True)
 
     engine = InferenceEngine(
         config, params, batch_size=args.batch,

@@ -220,3 +220,75 @@ class TestCheckpointRepack:
         tokens = jnp.asarray(rng.integers(0, 256, (1, 8)), jnp.int32)
         logits = gpt2.forward(qloaded, tokens, config)
         assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+class TestW8A8:
+    def test_w8a8_matmul_matches_reference(self, rng):
+        """s8×s8 path == quantize-x-then-dequant-matmul, exactly (int32
+        accumulation is exact; only activation rounding differs from the
+        weight-only path)."""
+        k, n, b = 256, 128, 4
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32) * 0.02
+        p = q.quantize_linear({"w": w, "b": None}, "int8")  # per-channel
+        assert p["scale"].shape == (1, n)
+        x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+        got = np.asarray(q.w8a8_matmul(x, p["qw"], p["scale"]))
+        xq, sx = q.quantize_rows(x)
+        want = (
+            np.asarray(xq, np.int64) @ np.asarray(p["qw"], np.int64)
+        ).astype(np.float64) * np.asarray(sx)[:, None] * np.asarray(p["scale"][0])[None, :]
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+    def test_w8a8_error_small(self, rng):
+        k, n = 512, 256
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32) * 0.02
+        p = q.quantize_linear({"w": w, "b": None}, "int8")
+        x = jnp.asarray(rng.standard_normal((4, k)), jnp.float32)
+        exact = np.asarray(x @ w)
+        got = np.asarray(q.w8a8_matmul(x, p["qw"], p["scale"]))
+        rel = np.abs(got - exact).max() / np.abs(exact).max()
+        assert rel < 0.02, rel  # int8 weights + int8 activations
+
+    def test_quantized_linear_act_quant_dispatch(self, rng):
+        p = q.quantize_linear(
+            {"w": jnp.asarray(rng.standard_normal((256, 128)), jnp.float32),
+             "b": None}, "int8")
+        x = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+        y_aq = np.asarray(q.quantized_linear(p, x, act_quant=True))
+        y_ref = np.asarray(q.w8a8_matmul(x, p["qw"], p["scale"]))
+        np.testing.assert_allclose(y_aq, y_ref, rtol=1e-6)
+        # grouped layout ignores act_quant (falls through to weight-only)
+        pg = q.quantize_linear(
+            {"w": jnp.asarray(rng.standard_normal((256, 128)), jnp.float32),
+             "b": None}, "int8", group_size=64)
+        y_g = np.asarray(q.quantized_linear(pg, x, act_quant=True))
+        y_g0 = np.asarray(q.quantized_linear(pg, x, act_quant=False))
+        np.testing.assert_array_equal(y_g, y_g0)
+
+    def test_kernel_w8a8_interpret_matches_jnp(self, rng):
+        from zig_gpt2_tpu.quant import kernels
+
+        k, n = 256, 384
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32) * 0.02
+        p = q.quantize_linear({"w": w, "b": None}, "int8")
+        x = jnp.asarray(rng.standard_normal((8, k)), jnp.float32)
+        got = np.asarray(kernels.qmm(x, p["qw"], p["scale"], w8a8=True,
+                                     interpret=True))
+        want = np.asarray(q.w8a8_matmul(x, p["qw"], p["scale"]))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_model_decode_with_act_quant(self, rng):
+        """Full decode step with config.act_quant on CPU (jnp w8a8 path)."""
+        import dataclasses
+
+        from zig_gpt2_tpu.config import GPT2_NANO
+        from zig_gpt2_tpu.models import gpt2
+
+        cfg = dataclasses.replace(GPT2_NANO, act_quant=True)
+        params = q.quantize_params(
+            gpt2.init_params(GPT2_NANO, jax.random.PRNGKey(0)), mode="int8")
+        cache = gpt2.init_kv_cache(cfg, 2, 16)
+        cache["length"] = jnp.asarray([3, 5], jnp.int32)
+        cache, logits = gpt2.decode_step(
+            params, cache, jnp.asarray([1, 2], jnp.int32), cfg)
+        assert np.isfinite(np.asarray(logits, np.float32)).all()

@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", default=None, help="raw checkpoint dir (e.g. models/124M/raw)")
     p.add_argument("--encoder-dir", default=None, help="dir holding encoder.json + vocab.bpe")
     p.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"], help="weight/activation dtype")
-    p.add_argument("--quant", default=None, choices=["int8", "int4"], help="weight-only quantization")
+    p.add_argument("--quant", default=None, choices=["int8", "int4", "w8a8"],
+                   help="quantization: int8/int4 weight-only, or w8a8 (per-channel INT8 weights + dynamic INT8 activations on the s8 MXU)")
     p.add_argument("--kv-quant", action="store_true", help="INT8 KV cache")
     p.add_argument("--temp", type=float, default=0.8, help="sampling temperature (reference default 0.8)")
     p.add_argument("--top-k", type=int, default=None)
@@ -126,6 +127,7 @@ def main(argv=None) -> None:
         if args.quant and "lm_head" not in params:
             from zig_gpt2_tpu.quant import quantize as q
 
+            wmode = "int8" if args.quant == "w8a8" else args.quant
             if mesh is not None:
                 # Pad BEFORE quantizing so the quantized layouts (int4
                 # half-split packing, scale groups) are born TP-aligned;
@@ -133,7 +135,7 @@ def main(argv=None) -> None:
                 from zig_gpt2_tpu.parallel import sharding as psh
 
                 params, config = psh.pad_for_tp(params, config, tp)
-            params = q.quantize_params(params, mode=args.quant, tp=tp)
+            params = q.quantize_params(params, mode=wmode, tp=tp)
 
     if mesh is not None:
         # Pads (float checkpoints), sets config.spmd, and places every leaf
@@ -146,6 +148,10 @@ def main(argv=None) -> None:
         params, config = pmesh.prepare_params(params, config, mesh)
         if args.seq_parallel:
             config = dataclasses.replace(config, seq_parallel=True)
+    if args.quant == "w8a8":
+        import dataclasses
+
+        config = dataclasses.replace(config, act_quant=True)
 
     kv_quant = "int8" if args.kv_quant else None
     sampling = SamplingConfig(temperature=args.temp, top_k=args.top_k,

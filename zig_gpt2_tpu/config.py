@@ -48,6 +48,12 @@ class GPTConfig:
     # after (same wire volume as the TP all-reduce it replaces). Decode has
     # seq=1 — SP is prefill-only by construction.
     seq_parallel: bool = False
+    # w8a8: dynamically quantize activations to INT8 per row so matmuls
+    # against per-channel INT8 weights run as s8×s8 MXU ops — 2× the
+    # float-operand weight-load rate, the true GEMV floor (quant/kernels).
+    # Weight layout is unchanged (per-channel INT8); this is a runtime
+    # choice. CLI: --quant w8a8.
+    act_quant: bool = False
 
     @property
     def head_dim(self) -> int:

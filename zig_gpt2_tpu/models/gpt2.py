@@ -201,18 +201,21 @@ def init_kv_cache(
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _linear(p: Dict[str, jax.Array], x: jax.Array, spmd: bool = False) -> jax.Array:
+def _linear(
+    p: Dict[str, jax.Array], x: jax.Array, spmd: bool = False,
+    act_quant: bool = False,
+) -> jax.Array:
     """Apply a linear layer's param dict; dispatches to the fused
     dequant+matmul path when the weight is quantized."""
     if "qw" in p or "qw4" in p:
         from zig_gpt2_tpu.quant import quantize as q
 
-        return q.quantized_linear(p, x, spmd=spmd)
+        return q.quantized_linear(p, x, spmd=spmd, act_quant=act_quant)
     return ops.linear(x, p["w"], p.get("b"))
 
 
 def _qkv(
-    attn_p: Params, h: jax.Array, n_heads: int, spmd: bool = False
+    attn_p: Params, h: jax.Array, n_heads: int, config: GPTConfig = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Project to per-head Q/K/V: (..., E) -> three (..., H, D).
 
@@ -220,13 +223,16 @@ def _qkv(
     ops.zig:143-147/179-199 — the head split here is a free reshape because
     each projection is already head-major.)
     """
+    spmd = config.spmd if config is not None else False
+    aq = config.act_quant if config is not None else False
+
     def heads(t):
         return t.reshape(*t.shape[:-1], n_heads, t.shape[-1] // n_heads)
 
     return (
-        heads(_linear(attn_p["wq"], h, spmd)),
-        heads(_linear(attn_p["wk"], h, spmd)),
-        heads(_linear(attn_p["wv"], h, spmd)),
+        heads(_linear(attn_p["wq"], h, spmd, aq)),
+        heads(_linear(attn_p["wk"], h, spmd, aq)),
+        heads(_linear(attn_p["wv"], h, spmd, aq)),
     )
 
 
@@ -260,15 +266,15 @@ def _block_prefill(
     B, T, _ = x.shape
     x = _seq_shard(x, config)
     h = ops.layer_norm(x, bp["ln_1"]["w"], bp["ln_1"]["b"], config.layer_norm_eps)
-    q, k, v = _qkv(bp["attn"], h, config.attn_heads, config.spmd)  # (B, T, H, D)
+    q, k, v = _qkv(bp["attn"], h, config.attn_heads, config)  # (B, T, H, D)
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
     attn = ops.causal_attention(q, k, v, length_mask=length_mask)
     attn = attn.swapaxes(1, 2).reshape(B, T, -1)
-    x = x + _linear(bp["attn"]["c_proj"], attn, config.spmd)
+    x = x + _linear(bp["attn"]["c_proj"], attn, config.spmd, config.act_quant)
     h = ops.layer_norm(x, bp["ln_2"]["w"], bp["ln_2"]["b"], config.layer_norm_eps)
-    h = _linear(bp["mlp"]["c_fc"], h, config.spmd)
+    h = _linear(bp["mlp"]["c_fc"], h, config.spmd, config.act_quant)
     h = ops.gelu(h)
-    x = x + _linear(bp["mlp"]["c_proj"], h, config.spmd)
+    x = x + _linear(bp["mlp"]["c_proj"], h, config.spmd, config.act_quant)
     return x, k, v
 
 
@@ -338,7 +344,8 @@ def _linear_at(
             from zig_gpt2_tpu.quant import kernels
 
             x2 = x.reshape(rows, x.shape[-1])
-            y = kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx)
+            y = kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx,
+                            w8a8=config.act_quant)
             y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
             if "b" in p:
                 y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
@@ -350,12 +357,13 @@ def _linear_at(
             y = sk.qmm_sharded(
                 x2, qw, p["scale"], int4=int4, role=role, mesh=config.mesh,
                 layer=idx, interpret=_spmd_interpret(),
+                w8a8=config.act_quant,
             )
             y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
             if "b" in p:
                 y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
             return y
-    return _linear(_layer_slice(p, idx), x)
+    return _linear(_layer_slice(p, idx), x, config.spmd, config.act_quant)
 
 
 def _block_decode(
@@ -481,12 +489,13 @@ def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
             y = sk.qmm_sharded(
                 x.reshape(rows, x.shape[-1]), qw, p["scale"], int4=int4,
                 role="col", mesh=config.mesh, interpret=_spmd_interpret(),
+                w8a8=config.act_quant,
             )
             logits = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
             if "b" in p:
                 logits = logits + p["b"]
         else:
-            logits = _linear(p, x, config.spmd)
+            logits = _linear(p, x, config.spmd, config.act_quant)
     else:
         logits = jnp.dot(x, params["wte"].T, preferred_element_type=x.dtype)
     if config.padded_vocab_size is not None:
@@ -611,8 +620,14 @@ def decode_step(
         x, caches = _block_decode(x, blocks, idx, caches, pos, config)
         return (x, caches), None
 
+    # Unrolling trades compile time for the TPU while-loop's per-iteration
+    # sequencer overhead — measured ~15 us/iteration EVEN FOR A SCALAR ADD
+    # on this chip, i.e. ~0.7 ms/step hidden in a 48-layer scan.
+    # ZG2_DECODE_UNROLL tunes it (read at trace time).
+    unroll = int(os.environ.get("ZG2_DECODE_UNROLL", "4"))
     (x, new_layer_caches), _ = jax.lax.scan(
-        step, (x, layer_caches), jnp.arange(config.n_layers)
+        step, (x, layer_caches), jnp.arange(config.n_layers),
+        unroll=min(unroll, config.n_layers),
     )
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     logits = _lm_head(params, x, config)

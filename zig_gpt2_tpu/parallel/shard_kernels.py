@@ -46,15 +46,15 @@ _LEN = P(DATA_AXIS)                            # (B,) lengths / positions
 _SCALAR = P()                                  # traced layer index
 
 
-def _qmm_local(x, qw, scale, *, int4, layer, interpret):
+def _qmm_local(x, qw, scale, *, int4, layer, interpret, w8a8=False):
     from zig_gpt2_tpu.quant import kernels
 
     return kernels.qmm(x, qw, scale, int4=int4, layer=layer,
-                       interpret=interpret)
+                       interpret=interpret, w8a8=w8a8)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("int4", "role", "mesh", "interpret")
+    jax.jit, static_argnames=("int4", "role", "mesh", "interpret", "w8a8")
 )
 def qmm_sharded(
     x: jax.Array,
@@ -66,6 +66,7 @@ def qmm_sharded(
     mesh,
     layer: Optional[jax.Array] = None,
     interpret: bool = False,
+    w8a8: bool = False,
 ) -> jax.Array:
     """Sharded fused dequant+GEMV. x: (B, K); qw: (L, Kp, N) stacked (layer
     given) or (Kp, N); returns (B, N) f32 (matching quant.kernels.qmm).
@@ -121,7 +122,7 @@ def qmm_sharded(
                 )
                 scale = jnp.concatenate([s_lo, s_hi], axis=-2)
         y = _qmm_local(x, qw, scale, int4=int4, layer=lyr,
-                       interpret=interpret)
+                       interpret=interpret, w8a8=w8a8)
         if not col:
             y = jax.lax.psum(y, MODEL_AXIS)
         return y

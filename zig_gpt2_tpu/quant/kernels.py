@@ -45,7 +45,8 @@ def _kc_for(k: int, group: int, int4: bool) -> int:
     return 0  # tiny-K fallback: whole-tile dequant
 
 
-def _qmm_kernel(x_ref, qw_ref, scale_ref, out_ref, *, n_groups, group, int4):
+def _qmm_kernel(x_ref, qw_ref, scale_ref, out_ref, *, n_groups, group, int4,
+                w8a8=False):
     q = qw_ref[:]
     if q.ndim == 3:  # stacked mode: (1, Kp, TN) block — squeeze the layer dim
         q = q[0]
@@ -56,6 +57,25 @@ def _qmm_kernel(x_ref, qw_ref, scale_ref, out_ref, *, n_groups, group, int4):
     k = q.shape[0] * (2 if int4 else 1)
     kc = _kc_for(k, group, int4)
     b = x_ref.shape[0]
+
+    if w8a8:
+        # s8×s8 MXU path (per-channel scales only): the MXU loads int8
+        # weight elements at 2× the float-operand rate — the only lever
+        # past the ~480 Gelem/s GEMV weight-load floor. Activations are
+        # dynamically quantized per row HERE (O(B·K), recomputed per
+        # program — trivial); the int32 accumulation is exact, so the
+        # only new error vs dequant-matmul is the activation rounding.
+        xf = x_ref[:].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(absmax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        step = kc if kc else k
+        acc = jnp.zeros((b, tile_n), jnp.int32)
+        for c0 in range(0, k, step):
+            acc = acc + jnp.dot(xq[:, c0:c0 + step], q[c0:c0 + step],
+                                preferred_element_type=jnp.int32)
+        out_ref[:] = acc.astype(jnp.float32) * sx * sc[0][None, :]
+        return
 
     if not kc:  # tiny-K fallback: whole-tile dequant (original formulation)
         if int4:
@@ -114,7 +134,7 @@ def _qmm_kernel(x_ref, qw_ref, scale_ref, out_ref, *, n_groups, group, int4):
     out_ref[:] = acc * sc[0][None, :] if per_channel else acc
 
 
-@functools.partial(jax.jit, static_argnames=("int4", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("int4", "block_n", "interpret", "w8a8"))
 def qmm(
     x: jax.Array,
     qw: jax.Array,
@@ -124,6 +144,7 @@ def qmm(
     block_n: int = 0,
     interpret: bool = False,
     layer=None,
+    w8a8: bool = False,
 ) -> jax.Array:
     """y[B, N] = x[B, K] @ dequant(qw, scale)[K, N] in float32.
 
@@ -144,6 +165,7 @@ def qmm(
     n = qw.shape[-1]
     n_groups = scale.shape[-2]
     group = k // n_groups
+    w8a8 = w8a8 and not int4 and n_groups == 1  # per-channel int8 only
     if not block_n:
         # Dtype-aware tiles: pick the widest block whose double-buffered
         # int tile + ~10 B/elem of K-chunked dequant temporaries (see
@@ -160,7 +182,7 @@ def qmm(
                 break
     block_n = min(block_n, n)
     kernel = functools.partial(
-        _qmm_kernel, n_groups=n_groups, group=group, int4=int4
+        _qmm_kernel, n_groups=n_groups, group=group, int4=int4, w8a8=w8a8
     )
     flops = 2 * b * k * n
     bytes_accessed = (

@@ -157,6 +157,37 @@ def _grouped_matmul_jnp(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Arr
     return jnp.sum(partial * scale[:, None, :].astype(jnp.float32), axis=0)
 
 
+def quantize_rows(x: jax.Array) -> tuple:
+    """Dynamic per-row symmetric INT8 activation quantization:
+    (..., K) float -> ((..., K) int8, (...,) f32 row scales). The w8a8
+    path's activation side — O(B·K), trivial next to the weight stream."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    sx = jnp.maximum(absmax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx[..., None]), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def w8a8_matmul(x: jax.Array, qw: jax.Array, scale: jax.Array) -> jax.Array:
+    """y = x @ dequant(qw) with BOTH operands int8 on the MXU.
+
+    Requires per-channel scales (scale (1, N)). The MXU streams weight
+    elements at a fixed element rate (~480 Gelem/s measured on v5e —
+    the true GEMV floor, dtype-invariant for float operands); int8×int8
+    ops run at 2× that rate, which is the only way a quantized GEMV
+    beats the bf16 one on weight-load throughput. Activations are
+    dynamically quantized per row (quantize_rows); the int32 accumulator
+    is exact, so the only new error is the activation rounding.
+    """
+    xq, sx = quantize_rows(x)
+    acc = jax.lax.dot_general(
+        xq, qw,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * sx[:, None] * scale[0][None, :]
+
+
 def _under_spmd() -> bool:
     """True when tracing under a non-trivial mesh — GSPMD can't partition
     the Pallas custom call, so the sharded path uses the jnp formulation
@@ -169,12 +200,19 @@ def _under_spmd() -> bool:
         return False
 
 
-def quantized_linear(p: Dict[str, Any], x: jax.Array, spmd: bool = False) -> jax.Array:
+def quantized_linear(
+    p: Dict[str, Any], x: jax.Array, spmd: bool = False,
+    act_quant: bool = False,
+) -> jax.Array:
     """y = x @ dequant(qw) (+ b), without materializing the dequantized
     weight. Dispatches to the fused Pallas kernel on TPU (the analogue of the
     reference's cblas_sgemm Linear hot path, ops.zig:30-45, at 1/4–1/8 the
     HBM traffic); jnp grouped matmul elsewhere. Pass spmd=True when tracing
-    under GSPMD sharding (the custom call cannot be partitioned)."""
+    under GSPMD sharding (the custom call cannot be partitioned).
+
+    ``act_quant``: the w8a8 path — dynamic per-row INT8 activations into
+    s8×s8 MXU ops (2× the float-operand weight-load rate). Applies only to
+    per-channel INT8 layers (scale (…, 1, N)); others fall through."""
     q = p.get("qw")
     int4 = q is None
     if int4:
@@ -183,13 +221,19 @@ def quantized_linear(p: Dict[str, Any], x: jax.Array, spmd: bool = False) -> jax
     x2 = x.reshape(-1, k_in)
     n = q.shape[-1]
     rows = x2.shape[0]
+    w8a8 = act_quant and not int4 and p["scale"].shape[-2] == 1
 
-    if jax.default_backend() == "tpu" and rows <= 64 and not spmd and not _under_spmd():
+    if (
+        jax.default_backend() == "tpu" and rows <= 64 and not spmd
+        and not _under_spmd()
+    ):
         # Decode / small-batch GEMV: memory-bound on the weight read — the
         # fused kernel streams int8/int4 straight from HBM.
         from zig_gpt2_tpu.quant import kernels
 
-        y = kernels.qmm(x2, q, p["scale"], int4=int4)
+        y = kernels.qmm(x2, q, p["scale"], int4=int4, w8a8=w8a8)
+    elif w8a8:
+        y = w8a8_matmul(x2, q, p["scale"])
     elif rows <= 64:
         qfull = unpack_int4(q) if int4 else q
         y = _grouped_matmul_jnp(x2, qfull, p["scale"])

@@ -23,8 +23,9 @@ import sys
 
 import numpy as np
 
-# (mode, budget) rows of the gate table, per BASELINE.md.
-GATES = (("int8", 0.1), ("int4", 0.5))
+# (mode, budget) rows of the gate table, per BASELINE.md. w8a8 (per-channel
+# INT8 weights + dynamic INT8 activations) is held to the INT8 budget.
+GATES = (("int8", 0.1), ("w8a8", 0.1), ("int4", 0.5))
 
 
 def main(argv=None) -> int:
@@ -39,7 +40,7 @@ def main(argv=None) -> int:
     p.add_argument("--window", type=int, default=None,
                    help="PPL context window (default: model context)")
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--modes", default="int8,int4",
+    p.add_argument("--modes", default="int8,w8a8,int4",
                    help="comma-separated quantization modes to gate")
     p.add_argument("--demo", action="store_true",
                    help="tiny random model + synthetic corpus (no weights)")
@@ -92,8 +93,15 @@ def main(argv=None) -> int:
     for mode, budget in GATES:
         if mode not in wanted:
             continue
-        qp = q.quantize_params(params, mode=mode)
-        ppl = perplexity(qp, config, tokens, **kw)
+        import dataclasses
+
+        cfg = config
+        wmode = mode
+        if mode == "w8a8":
+            wmode = "int8"
+            cfg = dataclasses.replace(config, act_quant=True)
+        qp = q.quantize_params(params, mode=wmode)
+        ppl = perplexity(qp, cfg, tokens, **kw)
         delta = ppl - ppl_fp
         passed = delta <= budget
         ok &= passed
