@@ -53,7 +53,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from zig_gpt2_tpu.ops.layers import MASK_VALUE
+
+# Route the V-accumulate's S-reduction through the MXU (segment-matrix
+# dot) instead of strided VPU sublane passes. DEFAULT OFF — a measured
+# negative result: the isolated kernel gets +6% (166.8 -> 156.4 us/call,
+# 1.5B B=16 shapes), but END-TO-END it LOSES 2.3% (1181 vs 1209 tok/s,
+# back-to-back same-session): in the full decode step the MXU is already
+# busy streaming qmm weights, so the seg-dot serializes against it,
+# while the VPU sublane passes it replaces were overlapping free.
+# ZG2_ATTN_MXU=1 re-enables for isolated-kernel experiments.
+_MXU_REDUCE = os.environ.get("ZG2_ATTN_MXU", "0") == "1"
 
 # Inner compute chunk cap: the in-kernel loop slices the resident block in
 # at-most-128-row steps, shrunk further (via _inner_rows) so the f32
@@ -353,7 +365,26 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
                     # minor-dim inserts on 32-bit types, not bool.
                     validf = valid.astype(jnp.float32)
                     vc = jnp.where(validf[:, :, None] > 0.0, vc, 0.0)
-                acc = acc * corr + jnp.sum(e[:, :, None] * vc, axis=1)
+                ev = e[:, :, None] * vc  # (H, ln, D)
+                if _MXU_REDUCE:
+                    # Σ_s on the MXU instead of ~7 strided VPU sublane
+                    # passes: flatten to (H·ln, D) (legal merge — ln is
+                    # 8-aligned) and left-multiply a 0/1 segment matrix;
+                    # the output (H, D) lands with H on sublanes and D on
+                    # lanes — exactly acc's layout, no transposes. (The
+                    # score-side lane reduction can NOT do this: its
+                    # output would put S on sublanes and need a
+                    # sublane→lane transpose.)
+                    flat = ev.reshape(h * ln, d)
+                    rowh = jax.lax.broadcasted_iota(
+                        jnp.int32, (h, h * ln), 0)
+                    srch = jax.lax.broadcasted_iota(
+                        jnp.int32, (h, h * ln), 1) // ln
+                    seg = (rowh == srch).astype(jnp.float32)
+                    acc = acc * corr + jnp.dot(
+                        seg, flat, preferred_element_type=jnp.float32)
+                else:
+                    acc = acc * corr + jnp.sum(ev, axis=1)
                 return m_new, den, acc
 
             if dyn_inner:
