@@ -117,3 +117,15 @@ def test_threshold_distribution_matches_masked_categorical(rng):
     expected = p * n
     std = np.sqrt(expected * (1 - p) + 1e-9)
     assert np.all(np.abs(counts - expected) < 5 * std + 5), (counts, expected)
+
+
+def test_single_row_batch(rng):
+    """B=1 uses one full-array block (no 8-row padding reads)."""
+    logits = jnp.asarray(rng.standard_normal((1, 128)) * 3, jnp.float32)
+    seeds = jnp.asarray([42], jnp.int32)
+    a = np.asarray(sample_categorical(logits, seeds, 0.8))
+    assert a.shape == (1,) and 0 <= a[0] < 128
+    np.testing.assert_array_equal(
+        a, np.asarray(sample_categorical(logits, seeds, 0.8)))
+    greedy = np.asarray(sample_categorical(logits, seeds, 0.001))
+    np.testing.assert_array_equal(greedy, np.asarray(jnp.argmax(logits, -1)))

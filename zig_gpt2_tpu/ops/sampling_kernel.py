@@ -55,7 +55,11 @@ def sample_categorical(
     (runtime/sampling.py)."""
     b, v = logits.shape
     inv_t = 1.0 / float(temperature)
-    rows = 8  # sublane-aligned row block; VMEM per program = 8V f32 * ~3
+    # Row-block size: 8 (sublane tile) for batches, but small batches use
+    # ONE full-array block — Mosaic allows a block equal to the array dims
+    # regardless of alignment, and an 8-row block over B=1 logits made the
+    # kernel stream 8x the (B, 50257) bytes it needed.
+    rows = b if b <= 8 else 8
     n_blocks = pl.cdiv(b, rows)
     masked = thresh is not None
 
