@@ -210,3 +210,56 @@ def test_batch_fold_deferred_quant(rng, monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=5e-3)
+
+
+class TestPickBlockLaneLegality:
+    """Mosaic requires the quant scale-plane block's LANE dim (sc) to be a
+    128-multiple or exactly S. Interpret mode never checks this — the
+    batcher's S = max_seq + chunk - 1 = 207 crashed on hardware — so pin
+    the invariant for a sweep of S values here."""
+
+    def test_quant_sc_lane_legal(self):
+        from zig_gpt2_tpu.ops.attention import _pick_block
+
+        for s in (64, 192, 207, 255, 256, 513, 640, 1024, 1031):
+            for b, h in ((1, 12), (16, 25), (8, 20)):
+                bc, sc, n_chunks = _pick_block(b, h, s, 1, quant=True,
+                                               foldable=True)
+                assert sc % 128 == 0 or sc == s, (s, b, h, sc)
+                assert n_chunks * sc >= s
+                assert b % bc == 0
+
+    def test_nonquant_sc_8_aligned(self):
+        from zig_gpt2_tpu.ops.attention import _pick_block
+
+        for s in (64, 192, 207, 640):
+            bc, sc, n_chunks = _pick_block(4, 12, s, 2, quant=False,
+                                           foldable=True)
+            assert sc % 8 == 0
+            assert n_chunks * sc >= s
+
+    def test_batcher_headroom_shape_interpret(self, rng):
+        """S=207 (the crashing hardware shape) through the full quant
+        deferred kernel in interpret mode."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from zig_gpt2_tpu.ops import attention as A
+        from zig_gpt2_tpu.ops import layers as ops
+
+        L, B, H, S, D = 2, 4, 5, 207, 16
+        kc = jnp.asarray(rng.integers(-127, 127, (L, B, H, S, D)), jnp.int8)
+        vc = jnp.asarray(rng.integers(-127, 127, (L, B, H, S, D)), jnp.int8)
+        ks = jnp.asarray(rng.random((L, B, H, S)), jnp.float32) * 0.01
+        vs = jnp.asarray(rng.random((L, B, H, S)), jnp.float32) * 0.01
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        knq, ksn = ops.quantize_kv(
+            jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32))
+        vnq, vsn = ops.quantize_kv(
+            jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32))
+        pos = jnp.asarray([10, 100, 200, 206], jnp.int32)
+        out = np.asarray(A.decode_attention_quant_deferred_fused(
+            q, knq, ksn, vnq, vsn, kc, ks, vc, vs, pos,
+            layer=jnp.int32(1), interpret=True,
+        ))
+        assert np.isfinite(out).all() and out.shape == (B, H, D)

@@ -93,7 +93,7 @@ def _inner_rows(bc, h) -> int:
 
 
 def _pick_block(b, h, s, itemsize, quant, foldable=False):
-    """(batch-fold bc, S-chunk sc) minimizing the grid size. Grid cells
+    """(batch-fold bc, S-chunk sc, n_chunks) minimizing the grid size. Grid cells
     carry a large fixed cost (DMA issue for up to 9 operands + prologue;
     measured ~8 us/cell vs <1 us of VPU compute at 1.5B, and 3 S-chunks vs
     1 was a 3x slowdown at B=16 ctx 640), so fold batch elements into one
@@ -103,10 +103,17 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
 
     ``foldable``: allow bc > 1 (the in-cell sub-batch loop,
     _build_kernel)."""
-    # Mosaic only needs the S block dim 8-aligned, so a single chunk can be
-    # exactly ceil8(S) — chunking to _INNER multiples padded 192 -> 256 and
-    # burned 33% of the kernel's (compute-bound) VPU work on masked rows.
+    # The K/V cache blocks (…, sc, D) only need sc 8-aligned, so a single
+    # chunk can be exactly ceil8(S) — chunking to _INNER multiples padded
+    # 192 -> 256 and burned 33% of the kernel's (compute-bound) VPU work
+    # on masked rows. BUT the quant scale-plane blocks (…, H, sc) put sc
+    # on the LANE dim, where Mosaic requires a 128-multiple OR exactly the
+    # full array dim — so for the INT8 cache, exact-S only applies when
+    # S is itself 8-aligned (sc == S); otherwise fall back to 128-padded
+    # chunks (e.g. the batcher's S = max_seq + decode_chunk - 1 = 207).
     s_pad = -(-s // 8) * 8
+    if quant and s_pad != s:
+        s_pad = -(-s // _INNER) * _INNER
     best = None  # (cells, n_chunks, -bc) lexicographic
     for bc in _FOLD_CANDIDATES if foldable else (1,):
         if b % bc:
@@ -125,8 +132,8 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
         if best is None or cand[:3] < best[:3]:
             best = cand
     if best is None:  # degenerate huge-H fallback: minimal blocks
-        return 1, _INNER
-    return best[3], best[4]
+        return 1, _INNER, -(-s_pad // _INNER)
+    return best[3], best[4], best[1]
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -437,9 +444,8 @@ def _attention_call(
     stacked = layer is not None
     b, h, d = q.shape
     s = k_cache.shape[-2]
-    bc, sc = _pick_block(b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant,
-                         foldable=True)
-    n_chunks = pl.cdiv(-(-s // 8) * 8, sc)  # same s_pad as _pick_block
+    bc, sc, n_chunks = _pick_block(
+        b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant, foldable=True)
     scale = 1.0 / math.sqrt(d)
     # Fold: split the batch (B,) -> (B/bc, bc) on every operand — a free
     # leading-dim reshape; the kernel loops the bc sub-batches per cell.
