@@ -124,7 +124,18 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
             sc, n_chunks = s_pad, 1
         else:
             # Multi-chunk: keep _INNER-granular chunks (equal blocks).
-            sc = budget_rows // _INNER * _INNER
+            # bc > 1 here OOMs scoped VMEM: Mosaic keeps each sub-batch's
+            # f32 temporaries live across the unrolled t-loop, and multi-
+            # chunk's bigger per-cell blocks leave no headroom (measured
+            # 17.2M > 16M at 1.5B ctx 1152, bc=4·sc=128 AND bc=2·sc=256);
+            # single-chunk bc=2 at sc<=320 is proven on hardware.
+            if bc > 1:
+                continue
+            # Half budget for multi-chunk blocks: the scratch-carry path
+            # keeps ~10.7 MB of inner-loop state live (measured: 17.2 MB
+            # scoped OOM at sc=512 regardless of bc·sc split), so the
+            # full 8 MB block budget only fits when single-chunk.
+            sc = (budget_rows // 2) // _INNER * _INNER
             if sc <= 0:
                 continue
             n_chunks = -(-s_pad // sc)
@@ -234,6 +245,12 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
     merging (B, H) -> bc*H outside the kernel retiled the scale planes
     (40%% regression) and an in-kernel merge doesn't lower at all.
     """
+    # Deliberately NOT scaled by bc: _pick_block restricts bc > 1 to
+    # single-chunk configs (sc ≤ ~320 int8), where inner=128 with bc=2 is
+    # the hardware-proven 1205 tok/s configuration; scaling down by bc
+    # would change it. (Mosaic keeps each sub-batch's temporaries live
+    # across the unrolled t-loop, so bc > 1 with multi-chunk blocks OOMs
+    # scoped VMEM — hence the _pick_block restriction.)
     inner = _inner_rows(1, h)
     # Dynamic-trip-count inner loop (compute ∝ live length, not capacity)
     # wants uniform full-size iterations: shrink inner to the largest
