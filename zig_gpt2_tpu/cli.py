@@ -96,6 +96,10 @@ def main(argv=None) -> None:
 
         # Must run before make_mesh touches devices (backend init).
         pdist.enable_collective_overlap()
+        # (Multi-host pods additionally call parallel.distributed.initialize()
+        # before any jax device use — deliberately NOT auto-called here:
+        # single-host TPU containers often export TPU_WORKER_HOSTNAMES,
+        # which would mis-trigger the multi-host path.)
         dp, tp = (int(x) for x in args.mesh.split("x"))
         mesh = pmesh.make_mesh(dp, tp)
 

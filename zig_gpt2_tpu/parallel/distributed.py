@@ -82,6 +82,11 @@ def initialize(
         log.info("single-process run; skipping jax.distributed.initialize")
         return
     try:
+        if jax.distributed.is_initialized():  # idempotent re-entry
+            return
+    except AttributeError:  # older jax
+        pass
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
