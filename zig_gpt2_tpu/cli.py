@@ -125,7 +125,18 @@ def main(argv=None) -> None:
 
         if str(args.weights).endswith(".npz"):
             # Pre-repacked (possibly quantized) checkpoint — tools/repack.py.
-            params = zio.load_pytree_npz(args.weights)
+            params, meta = zio.load_pytree_npz(args.weights, with_meta=True)
+            if meta and (meta.get("padded_heads") or meta.get("padded_vocab_size")):
+                # repack --tp baked the TP padding into the quantized
+                # layouts; reconstruct the padded config so prepare_params
+                # sees dims that already divide.
+                import dataclasses
+
+                config = dataclasses.replace(
+                    config,
+                    padded_heads=meta.get("padded_heads"),
+                    padded_vocab_size=meta.get("padded_vocab_size"),
+                )
         else:
             params = zio.load_gpt2_raw(args.weights, config, dtype=dtype)
         if args.quant and "lm_head" not in params:

@@ -184,7 +184,16 @@ def save_gpt2_raw(params: Dict[str, Any], raw_dir: str | Path, config: GPTConfig
 # (INT8/INT4 + scales) as an offline step".
 
 
-def save_pytree_npz(params: Dict[str, Any], path: str | Path) -> None:
+_NPZ_META_KEY = "__zg2_meta__"
+
+
+def save_pytree_npz(
+    params: Dict[str, Any], path: str | Path, meta: Optional[dict] = None
+) -> None:
+    """``meta``: optional JSON-able dict stored alongside the tree — the
+    repack tool records TP padding (padded_heads/padded_vocab_size/tp) so
+    a pre-padded quantized checkpoint can reconstruct its config at load
+    time (quantized layouts can't be padded post-hoc)."""
     flat = {}
 
     def walk(prefix, node):
@@ -195,14 +204,24 @@ def save_pytree_npz(params: Dict[str, Any], path: str | Path) -> None:
             flat[prefix] = np.asarray(node)
 
     walk("", params)
+    if meta:
+        flat[_NPZ_META_KEY] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **flat)
 
 
-def load_pytree_npz(path: str | Path, device_put: bool = True) -> Dict[str, Any]:
+def load_pytree_npz(
+    path: str | Path, device_put: bool = True, with_meta: bool = False
+):
+    meta: Optional[dict] = None
     with np.load(path) as z:
         params: Dict[str, Any] = {}
         for key in z.files:
+            if key == _NPZ_META_KEY:
+                meta = json.loads(bytes(z[key]).decode("utf-8"))
+                continue
             node = params
             *parents, leaf = key.split("/")
             for p in parents:
@@ -210,7 +229,7 @@ def load_pytree_npz(path: str | Path, device_put: bool = True) -> Dict[str, Any]
             node[leaf] = z[key]
     if device_put:
         params = jax.tree.map(jnp.asarray, params)
-    return params
+    return (params, meta) if with_meta else params
 
 
 def _stack_tree(trees: list) -> Dict[str, np.ndarray]:
