@@ -54,7 +54,6 @@ def main() -> None:
 
     config = get_config(args.model)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    params = gpt2.init_params(config, jax.random.PRNGKey(0), dtype=dtype)
 
     wmode = "int8" if args.quant == "w8a8" else args.quant
     mesh = None
@@ -63,9 +62,13 @@ def main() -> None:
         from zig_gpt2_tpu.parallel import mesh as pmesh
         from zig_gpt2_tpu.parallel import sharding as psh
 
+        # Before ANY device use (init_params below initializes the
+        # backend; after that the XLA flags are silently ignored).
         pdist.enable_collective_overlap()
         dp, tp = (int(x) for x in args.mesh.split("x"))
         mesh = pmesh.make_mesh(dp, tp)
+    params = gpt2.init_params(config, jax.random.PRNGKey(0), dtype=dtype)
+    if args.mesh:
         # cli.py order: pad -> quantize(tp) -> shard (prepare_params inside
         # the engine/batcher places the leaves).
         params, config = psh.pad_for_tp(params, config, tp)

@@ -138,7 +138,13 @@ def main(argv=None) -> None:
                     padded_vocab_size=meta.get("padded_vocab_size"),
                 )
         else:
-            params = zio.load_gpt2_raw(args.weights, config, dtype=dtype)
+            # Under a mesh, keep the checkpoint host-side: padding (and
+            # quantization) happen before placement, and prepare_params
+            # then does the ONE device_put with the Megatron shardings —
+            # loading to device 0 first would double the transfer and
+            # spike a single chip's HBM with the whole unpadded model.
+            params = zio.load_gpt2_raw(args.weights, config, dtype=dtype,
+                                       device_put=mesh is None)
         if args.quant and "lm_head" not in params:
             from zig_gpt2_tpu.quant import quantize as q
 

@@ -624,7 +624,7 @@ def decode_step(
     # sequencer overhead — measured ~15 us/iteration EVEN FOR A SCALAR ADD
     # on this chip, i.e. ~0.7 ms/step hidden in a 48-layer scan.
     # ZG2_DECODE_UNROLL tunes it (read at trace time).
-    unroll = int(os.environ.get("ZG2_DECODE_UNROLL", "4"))
+    unroll = max(1, int(os.environ.get("ZG2_DECODE_UNROLL", "4")))
     (x, new_layer_caches), _ = jax.lax.scan(
         step, (x, layer_caches), jnp.arange(config.n_layers),
         unroll=min(unroll, config.n_layers),

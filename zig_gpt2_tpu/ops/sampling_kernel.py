@@ -12,10 +12,13 @@ Uniform variates come from the standard bit trick: the top 23 random bits
 become the mantissa of a float in [1, 2), minus 1 → U[0, 1); a tiny offset
 keeps log(u) finite.
 
-Dispatch (runtime/sampling.py): TPU + temperature > 0 + no top-k. The
-jax.random path remains for top-k, greedy, CPU, and SPMD tracing. NOTE the
-two paths draw from the same distribution but different random streams —
-each is deterministic under its own seed.
+Dispatch (runtime/sampling.py): TPU + temperature > 0, including top-k and
+top-p — those arrive as a per-row logit THRESHOLD (the smallest kept raw
+logit, derived outside with the same masking code as the jnp path) and the
+kernel masks `logit < thresh` out of the draw. The jax.random path remains
+for greedy, CPU, and SPMD tracing. NOTE the two paths draw from the same
+distribution but different random streams — each is deterministic under
+its own seed.
 """
 
 from __future__ import annotations

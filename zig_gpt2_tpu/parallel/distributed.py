@@ -48,7 +48,9 @@ def enable_collective_overlap() -> bool:
     warning) if the XLA backend is already initialized — the flags must be
     set before first device use. Idempotent."""
     flags = os.environ.get("XLA_FLAGS", "")
-    missing = [f for f in OVERLAP_FLAGS if f not in flags]
+    # Match by flag NAME so an explicit user override (e.g. ...=false for
+    # an A/B experiment) is respected instead of fought with a duplicate.
+    missing = [f for f in OVERLAP_FLAGS if f.split("=")[0] not in flags]
     if not missing:
         return True
     try:

@@ -39,7 +39,10 @@ def _kc_for(k: int, group: int, int4: bool) -> int:
     limit = k // 2 if int4 else k
     kc = max(512, group)
     while kc >= max(group, 128):
-        if limit % kc == 0:
+        # Chunks must cover whole scale groups (kc % group == 0) — a
+        # kc that merely divides K mismatches the per-chunk scale slice
+        # for non-power-of-two group sizes (e.g. G=192 on K=768).
+        if limit % kc == 0 and kc % group == 0:
             return kc
         kc //= 2
     return 0  # tiny-K fallback: whole-tile dequant

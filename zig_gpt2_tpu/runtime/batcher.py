@@ -160,8 +160,14 @@ class ContinuousBatcher:
             # TPU: pin layout AND sharding together (see cache_formats).
             self._cache_fmt = cache_formats(self.cache, shardings) or shardings
             self._data_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+            # Single-slot admission caches are B=1 — the batch axis can't
+            # shard over dp>1, so they ride model-sharded/data-replicated.
+            self._slot_shardings = pmesh.cache_shardings(
+                mesh, config, quant=kv_quant, data_sharded=False
+            )
         else:
             self._cache_fmt = None if config.spmd else cache_formats(self.cache)
+            self._slot_shardings = None
         if self._cache_fmt is not None:
             self.cache = jax.tree.map(jax.device_put, self.cache, self._cache_fmt)
         self._slot_cache_proto = functools.partial(
@@ -331,10 +337,13 @@ class ContinuousBatcher:
             bucket = _bucket(n, self.prompt_buckets)
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :n] = req.prompt_ids
+            slot_init = self._slot_cache_proto()
+            if self._slot_shardings is not None:
+                slot_init = jax.device_put(slot_init, self._slot_shardings)
             self.cache, self._tokens, self._key = self._prefill_insert(
                 self.params,
                 self.cache,
-                self._slot_cache_proto(),
+                slot_init,
                 jnp.asarray(toks),
                 jnp.asarray([n], jnp.int32),
                 i,
