@@ -241,11 +241,15 @@ def test_collective_overlap_flags():
 
     before = os.environ.get("XLA_FLAGS", "")
     try:
-        ok = pdist.enable_collective_overlap()
+        # Without opt-in: always a no-op (client XLA builds abort on
+        # unknown --xla_tpu_* flags, so defaulting on is unsafe).
+        assert pdist.enable_collective_overlap() is False
+        assert os.environ.get("XLA_FLAGS", "") == before
+        ok = pdist.enable_collective_overlap(force=True)
         if ok:  # backend not yet initialized in this worker
             flags = os.environ["XLA_FLAGS"]
             assert all(f in flags for f in pdist.OVERLAP_FLAGS)
         # idempotent / already-set path never raises
-        pdist.enable_collective_overlap()
+        pdist.enable_collective_overlap(force=True)
     finally:
         os.environ["XLA_FLAGS"] = before

@@ -43,10 +43,21 @@ OVERLAP_FLAGS = (
 )
 
 
-def enable_collective_overlap() -> bool:
-    """Append the overlap flags to XLA_FLAGS. Returns False (no-op, with a
-    warning) if the XLA backend is already initialized — the flags must be
-    set before first device use. Idempotent."""
+def enable_collective_overlap(force: bool = False) -> bool:
+    """Append the overlap flags to XLA_FLAGS. OPT-IN: set ZG2_OVERLAP=1
+    (or force=True) — the --xla_tpu_* flags are registered by the TPU
+    plugin on real pod hosts, but client-only XLA builds (e.g. the axon
+    tunnel) hard-abort on unknown XLA_FLAGS ("Unknown flags in
+    XLA_FLAGS", measured), so they cannot be defaulted on. Returns False
+    (no-op, with a warning) if not opted in or if the XLA backend is
+    already initialized — the flags must be set before first device use.
+    Idempotent."""
+    if not force and os.environ.get("ZG2_OVERLAP") != "1":
+        log.info(
+            "collective-overlap flags not applied (opt in with ZG2_OVERLAP=1 "
+            "on hosts whose XLA registers the TPU plugin flags)"
+        )
+        return False
     flags = os.environ.get("XLA_FLAGS", "")
     # Match by flag NAME so an explicit user override (e.g. ...=false for
     # an A/B experiment) is respected instead of fought with a duplicate.
