@@ -31,7 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-@functools.partial(jax.jit, static_argnames=("temperature", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("temperature", "interpret", "return_max")
+)
 def sample_categorical(
     logits: jax.Array,
     seed: jax.Array,
@@ -39,6 +41,7 @@ def sample_categorical(
     thresh: jax.Array | None = None,
     *,
     interpret: bool = False,
+    return_max: bool = False,
 ) -> jax.Array:
     """(B, V) logits -> (B,) int32 token ids ~ softmax(logits/temperature).
 
@@ -49,6 +52,12 @@ def sample_categorical(
     correlated within a block). Callers wanting fully independent rows
     should derive all B seeds from one key per step, as
     runtime/sampling.py does.
+
+    return_max: also return the winning perturbed value z* = max_j
+    (logit_j/T + G_j) per row, (B,) f32 — the vocab-sharded sampler
+    (parallel/shard_kernels.sample_sharded) runs this kernel per shard
+    and argmaxes z* across shards, which is EXACTLY global Gumbel-max
+    (shard seeds decorrelated by the caller).
 
     thresh: optional (B,) f32 per-row logit cutoff — rows with
     ``logit < thresh`` are excluded from the draw. This is how top-k and
@@ -67,10 +76,11 @@ def sample_categorical(
     masked = thresh is not None
 
     def kernel(seed_ref, *refs):
-        if masked:
-            thr_ref, x_ref, out_ref = refs
-        else:
-            x_ref, out_ref = refs
+        it = iter(refs)
+        thr_ref = next(it) if masked else None
+        x_ref = next(it)
+        out_ref = next(it)
+        z_ref = next(it) if return_max else None
         i = pl.program_id(0)
         pltpu.prng_seed(seed_ref[i])
         bits = pltpu.prng_random_bits((rows, v))
@@ -88,6 +98,8 @@ def sample_categorical(
         m = jnp.max(z, axis=-1, keepdims=True)
         ids = jax.lax.broadcasted_iota(jnp.int32, (rows, v), 1)
         out_ref[:] = jnp.min(jnp.where(z == m, ids, v), axis=-1, keepdims=True)
+        if return_max:
+            z_ref[:] = m
 
     in_specs = []
     extra = []
@@ -99,12 +111,18 @@ def sample_categorical(
         )
     in_specs.append(pl.BlockSpec((rows, v), lambda i, s: (i, 0),
                                  memory_space=pltpu.VMEM))
+    out_specs = pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, 1), jnp.int32)
+    if return_max:
+        out_specs = (out_specs, pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
+                                             memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, 1), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, 1), lambda i, s: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     # One seed per row-block, mixing in EVERY row's seed (distinct odd
     # multipliers keep permuted row seeds from colliding; int32 wraparound
@@ -117,7 +135,9 @@ def sample_categorical(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )(block_seeds, *extra, logits)
+    if return_max:
+        return out[0][:, 0], out[1][:, 0]
     return out[:, 0]

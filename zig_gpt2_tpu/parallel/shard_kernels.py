@@ -190,3 +190,49 @@ def decode_attention_quant_deferred_sharded(
         q, k_new, ks_new, v_new, vs_new,
         k_cache, k_scale, v_cache, v_scale, pos, layer=layer,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "mesh"))
+def sample_sharded(
+    logits: jax.Array,
+    seeds: jax.Array,
+    temperature: float,
+    thresh: Optional[jax.Array] = None,
+    *,
+    mesh,
+) -> jax.Array:
+    """Vocab-sharded Gumbel-max sampling: (B, V) logits sharded
+    P(data, model) -> (B,) int32 global token ids.
+
+    Each shard draws its own Gumbel noise (seeds decorrelated by
+    axis_index) and returns its local argmax plus the winning perturbed
+    value z*; the cross-shard argmax of z* IS the global Gumbel-max —
+    exactly categorical, with no (B, V) all-gather and no threefry. The
+    optional per-row threshold (top-k/top-p support cutoff) is replicated:
+    every shard masks against the same global boundary.
+    """
+    from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
+
+    def body(logits, seeds, *maybe_thresh):
+        w = jax.lax.axis_index(MODEL_AXIS)
+        # Distinct streams per vocab shard (golden-ratio odd constant).
+        seeds = seeds ^ ((w + 1) * jnp.int32(-1640531527))
+        thr = maybe_thresh[0] if maybe_thresh else None
+        idx_l, z_l = sample_categorical(
+            logits, seeds, temperature, thr, return_max=True
+        )
+        z_all = jax.lax.all_gather(z_l, MODEL_AXIS)      # (tp, B/dp)
+        idx_all = jax.lax.all_gather(idx_l, MODEL_AXIS)  # (tp, B/dp)
+        win = jnp.argmax(z_all, axis=0)                  # (B/dp,)
+        local = jnp.take_along_axis(idx_all, win[None, :], axis=0)[0]
+        return (win * logits.shape[-1] + local).astype(jnp.int32)
+
+    in_specs = [P(DATA_AXIS, MODEL_AXIS), _LEN]
+    args = [logits, seeds.astype(jnp.int32)]
+    if thresh is not None:
+        in_specs.append(_LEN)
+        args.append(thresh)
+    return shard_map(
+        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=_LEN,
+        check_vma=False,
+    )(*args)

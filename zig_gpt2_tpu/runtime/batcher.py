@@ -194,7 +194,8 @@ class ContinuousBatcher:
             key, sub = jax.random.split(key)
             first = sample(logits, sub, sampling.temperature,
                            sampling.top_k, sampling.top_p,
-                           use_kernel=not config.spmd)
+                           use_kernel=not config.spmd,
+                           mesh=config.mesh if config.spmd else None)
             feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx, axis=0)
             return out, feed, key
 
@@ -215,7 +216,8 @@ class ContinuousBatcher:
                 key, sub = jax.random.split(key)
                 nxt = sample(logits, sub, sampling.temperature,
                              sampling.top_k, sampling.top_p,
-                             use_kernel=not config.spmd)
+                             use_kernel=not config.spmd,
+                             mesh=config.mesh if config.spmd else None)
                 return (cache, nxt, key), tok  # emit the token just consumed
 
             (cache, nxt, key), consumed = jax.lax.scan(

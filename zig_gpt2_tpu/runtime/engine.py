@@ -238,12 +238,13 @@ class InferenceEngine:
         if hit is not None:
             return hit
         use_kernel = not self.config.spmd
+        mesh = self.config.mesh if self.config.spmd else None
 
         def step(params, cache, token, key):
             cache, logits = gpt2.decode_step(params, cache, token, self.config)
             key, sub = jax.random.split(key)
             tok = sample(logits, sub, temperature, top_k, top_p,
-                         use_kernel=use_kernel)
+                         use_kernel=use_kernel, mesh=mesh)
             return cache, tok, key
 
         fn = jax.jit(step, donate_argnums=(1,),
@@ -309,7 +310,8 @@ class InferenceEngine:
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
-                       sampling.top_p, use_kernel=not self.config.spmd)
+                       sampling.top_p, use_kernel=not self.config.spmd,
+                       mesh=self.config.mesh if self.config.spmd else None)
         token.block_until_ready()
         metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
@@ -372,6 +374,7 @@ class InferenceEngine:
         if hit is not None:
             return hit
         use_kernel = not self.config.spmd
+        mesh = self.config.mesh if self.config.spmd else None
 
         def run(params, cache, token, key):
             def body(carry, _):
@@ -379,7 +382,7 @@ class InferenceEngine:
                 cache, logits = gpt2.decode_step(params, cache, token, self.config)
                 key, sub = jax.random.split(key)
                 token = sample(logits, sub, temperature, top_k, top_p,
-                               use_kernel=use_kernel)
+                               use_kernel=use_kernel, mesh=mesh)
                 return (cache, token, key), token
 
             (cache, token, key), tokens = jax.lax.scan(
@@ -414,7 +417,8 @@ class InferenceEngine:
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
-                       sampling.top_p, use_kernel=not self.config.spmd)
+                       sampling.top_p, use_kernel=not self.config.spmd,
+                       mesh=self.config.mesh if self.config.spmd else None)
         run = self._scan_generate(n_steps, sampling.temperature,
                                   sampling.top_k, sampling.top_p)
         _, tokens = run(self.params, cache, token, key)

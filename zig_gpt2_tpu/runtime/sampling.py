@@ -10,6 +10,7 @@ step. Temperature 0 means greedy argmax; top-k restricts to the k best logits.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,7 @@ def sample(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     use_kernel: bool = True,
+    mesh=None,
 ) -> jax.Array:
     """Draw next tokens from (B, vocab) logits -> (B,) int32.
 
@@ -48,15 +50,22 @@ def sample(
     Pass ``use_kernel=False`` when the logits are mesh-sharded (callers
     thread ``not config.spmd`` — mirroring the dispatch guards on the
     attention/qmm kernels); ``_under_spmd()`` is the belt-and-suspenders
-    check for callers that forget.
+    check for callers that forget. With ``mesh`` given (sharded serving),
+    the kernel runs PER VOCAB SHARD under shard_map with a cross-shard
+    argmax of the winning Gumbel values — exactly categorical, no (B, V)
+    threefry and no logits all-gather (parallel/shard_kernels).
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if (
-        use_kernel
-        and jax.default_backend() == "tpu"
-        and not _under_spmd()
-    ):
+    backend_tpu = jax.default_backend() == "tpu"
+    # TPU-only (no interpret escape hatch: the native PRNG has no CPU
+    # lowering — the same reason tests/test_sampling_kernel.py is
+    # TPU-gated); CPU mesh runs keep the jax.random path.
+    sharded = (
+        mesh is not None and backend_tpu
+        and os.environ.get("ZG2_SPMD_KERNELS") != "0"
+    )
+    if sharded or (use_kernel and backend_tpu and not _under_spmd()):
         from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
 
         # Independent per-row seeds derived from the key (one cheap
@@ -81,6 +90,11 @@ def sample(
             thresh = jnp.min(
                 jnp.where(jnp.isneginf(scaled), jnp.inf, raw), axis=-1
             )
+        if sharded:
+            from zig_gpt2_tpu.parallel.shard_kernels import sample_sharded
+
+            return sample_sharded(logits, seeds, temperature, thresh,
+                                  mesh=mesh)
         return sample_categorical(logits, seeds, temperature, thresh)
     logits = _mask_logits(logits.astype(jnp.float32) / temperature,
                           top_k, top_p)
