@@ -129,3 +129,36 @@ def test_single_row_batch(rng):
         a, np.asarray(sample_categorical(logits, seeds, 0.8)))
     greedy = np.asarray(sample_categorical(logits, seeds, 0.001))
     np.testing.assert_array_equal(greedy, np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_return_max_and_sharded_sampler(rng):
+    """return_max yields the winning perturbed value, and the vocab-sharded
+    sampler (mesh 1x1 on the single real chip) draws from the same
+    distribution and is deterministic per seed."""
+    from zig_gpt2_tpu.parallel import mesh as pmesh
+    from zig_gpt2_tpu.parallel.shard_kernels import sample_sharded
+
+    V = 64
+    logits = jnp.asarray(rng.standard_normal((8, V)) * 2, jnp.float32)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, 8), jnp.int32)
+    idx, z = sample_categorical(logits, seeds, 1.0, return_max=True)
+    assert idx.shape == (8,) and z.shape == (8,)
+    # z* must be >= the chosen token's scaled logit (Gumbel noise >= -inf)
+    chosen = np.take_along_axis(np.asarray(logits), np.asarray(idx)[:, None], 1)[:, 0]
+    assert (np.asarray(z) >= chosen - 60).all()  # log(u) floor ~ -46
+
+    mesh = pmesh.make_mesh(1, 1)
+    a = np.asarray(sample_sharded(logits, seeds, 0.8, mesh=mesh))
+    b = np.asarray(sample_sharded(logits, seeds, 0.8, mesh=mesh))
+    np.testing.assert_array_equal(a, b)
+    assert ((0 <= a) & (a < V)).all()
+    # Distribution: batch the same row with many seeds, compare to softmax.
+    n = 4000
+    row = jnp.broadcast_to(logits[:1], (n, V))
+    many = jnp.asarray(rng.integers(0, 2**31 - 1, n), jnp.int32)
+    draws = np.asarray(sample_sharded(row, many, 0.8, mesh=mesh))
+    counts = np.bincount(draws, minlength=V)
+    p = np.asarray(jax.nn.softmax(logits[0] / 0.8))
+    expected = p * n
+    std = np.sqrt(expected * (1 - p) + 1e-9)
+    assert np.all(np.abs(counts - expected) < 5 * std + 5)
