@@ -74,3 +74,14 @@ def test_demo_deterministic_greedy(capsys):
     cli.main(["--demo", "--max-tokens", "5", "--temp", "0", "abc"])
     b = capsys.readouterr().out
     assert a == b
+
+
+def test_demo_sampling_flags(capsys):
+    """--top-k/--top-p plumb through to the engine (CPU jnp path)."""
+    cli.main(["--demo", "--max-tokens", "3", "--top-k", "5", "--temp",
+              "0.9", "--seed", "2", "xyz"])
+    out1 = capsys.readouterr().out
+    assert out1.startswith("xyz") and len(out1) > 3
+    cli.main(["--demo", "--max-tokens", "3", "--top-p", "0.9", "--temp",
+              "0.9", "--seed", "2", "xyz"])
+    assert capsys.readouterr().out.startswith("xyz")
