@@ -48,6 +48,16 @@ def test_pad_for_tp_is_exact_noop(params):
     assert (pad[..., CFG.vocab_size :] < -1e30).all()  # masked tail
 
 
+def test_prepare_params_sets_spmd_for_dp_only_mesh(params):
+    """A dp-only mesh (8x1) still shards batch axes, so prepare_params must
+    set config.spmd even though tp == 1 — otherwise dispatch takes the
+    single-device Pallas paths over data-sharded operands (which GSPMD
+    cannot partition)."""
+    mesh = pmesh.make_mesh(8, 1)
+    _, cfg = pmesh.prepare_params(params, CFG, mesh)
+    assert cfg.spmd and cfg.mesh is mesh
+
+
 def test_pad_for_tp_idempotent_when_divisible(params):
     p2, c2 = psh.pad_for_tp(params, dataclasses.replace(CFG, n_heads=4, n_embed=128), tp=4)
     # divisible configs pass through (heads 4 % 4 == 0 but vocab 500 % lcm(4,128)…)

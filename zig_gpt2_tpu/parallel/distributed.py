@@ -59,9 +59,13 @@ def enable_collective_overlap(force: bool = False) -> bool:
         )
         return False
     flags = os.environ.get("XLA_FLAGS", "")
-    # Match by flag NAME so an explicit user override (e.g. ...=false for
-    # an A/B experiment) is respected instead of fought with a duplicate.
-    missing = [f for f in OVERLAP_FLAGS if f.split("=")[0] not in flags]
+    # Match by WHOLE flag name so an explicit user override (e.g. ...=false
+    # for an A/B experiment) is respected instead of fought with a
+    # duplicate. Substring matching would break on prefix-named flags:
+    # --xla_tpu_enable_async_collective_fusion is a prefix of its
+    # ..._fuse_all_gather and ..._multiple_steps siblings.
+    present = {t.split("=")[0] for t in flags.split()}
+    missing = [f for f in OVERLAP_FLAGS if f.split("=")[0] not in present]
     if not missing:
         return True
     try:

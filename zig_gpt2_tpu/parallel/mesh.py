@@ -183,5 +183,12 @@ def prepare_params(params, config: GPTConfig, mesh: Mesh):
         ) from e
     # Carry the mesh in the config: kernel dispatch sites inside the scan
     # bodies use it to shard_map the Pallas kernels (parallel/shard_kernels).
-    config = dataclasses.replace(config, mesh=mesh)
+    # spmd must be true for ANY multi-device mesh, not just tp > 1: a
+    # dp-only mesh (e.g. 8x1) still shards the cache/logits batch axis, and
+    # the single-device Pallas dispatch paths would hand GSPMD an
+    # unpartitionable custom call over those sharded operands.
+    n_devices = int(np.prod(list(mesh.shape.values())))
+    config = dataclasses.replace(
+        config, mesh=mesh, spmd=config.spmd or n_devices > 1
+    )
     return jax.device_put(params, param_shardings(mesh, config, params)), config
