@@ -48,6 +48,16 @@ class GPTConfig:
     # after (same wire volume as the TP all-reduce it replaces). Decode has
     # seq=1 — SP is prefill-only by construction.
     seq_parallel: bool = False
+    # Head-pair-PACKED KV cache layout: (L, B, H/2, S, 2D) with adjacent
+    # heads sharing one 128-lane row, scale planes (L, B, 2, H/2, S)
+    # half-grouped. Kills the D=64 half-empty-lane waste in the fused
+    # decode-attention kernel's f32 temporaries (~2x its VPU work — see
+    # ops/attention._build_kernel_packed). Set by the runtime when the
+    # fused single-device kernel path is active (models.gpt2
+    # default_kv_packed); odd head counts ride a zero phantom head padded
+    # per step. Cache layout + dispatch both key off this flag, so it must
+    # be set before init_kv_cache / jit.
+    kv_packed: bool = False
     # w8a8: dynamically quantize activations to INT8 per row so matmuls
     # against per-channel INT8 weights run as s8×s8 MXU ops — 2× the
     # float-operand weight-load rate, the true GEMV floor (quant/kernels).

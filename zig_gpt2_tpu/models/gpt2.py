@@ -35,15 +35,43 @@ from zig_gpt2_tpu.ops import layers as ops
 
 
 def _use_fused_attention(config: GPTConfig) -> bool:
-    """Fused Pallas decode attention on TPU (ZG2_FUSED_ATTN=0 to disable).
-    Disabled under an SPMD mesh (config.spmd) — GSPMD cannot partition the
-    custom call; see _use_sharded_kernels for the shard_map path that
-    keeps the kernels per-shard."""
-    return (
-        jax.default_backend() == "tpu"
-        and os.environ.get("ZG2_FUSED_ATTN", "1") != "0"
-        and not config.spmd
-    )
+    """Fused Pallas decode attention on TPU (ZG2_FUSED_ATTN=0 to disable,
+    =interpret to force the kernel in interpret mode on CPU — packed-layout
+    model tests). Disabled under an SPMD mesh (config.spmd) — GSPMD cannot
+    partition the custom call; see _use_sharded_kernels for the shard_map
+    path that keeps the kernels per-shard."""
+    if config.spmd:
+        return False
+    opt = os.environ.get("ZG2_FUSED_ATTN", "1")
+    if opt == "0":
+        return False
+    if opt == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fused_interpret() -> bool:
+    return os.environ.get("ZG2_FUSED_ATTN") == "interpret"
+
+
+def default_kv_packed(config: GPTConfig) -> bool:
+    """Whether the runtime should serve with the head-pair-packed KV cache
+    (config.kv_packed): exactly when the fused single-device kernels are
+    active and head_dim is the GPT-2 64 (two heads fill one 128-lane
+    register row). The layout halves the decode-attention kernel's VPU
+    work; see ops/attention._build_kernel_packed. ZG2_KV_PACKED=0
+    disables (A/B benching)."""
+    if os.environ.get("ZG2_KV_PACKED", "1") == "0":
+        return False
+    return _use_fused_attention(config) and config.head_dim == 64
+
+
+def _packed_heads(config: GPTConfig) -> tuple[int, int]:
+    """(padded head count, packed row count) for the packed cache layout.
+    An odd head count (1.5B's 25) gets one zero phantom head — padded per
+    step on the q/k/v rows, never materialized in the weights."""
+    hpad = config.attn_heads + (config.attn_heads % 2)
+    return hpad, hpad // 2
 
 
 def _use_sharded_kernels(config: GPTConfig) -> bool:
@@ -68,30 +96,47 @@ def _spmd_interpret() -> bool:
 
 
 def _decode_attention(q, caches, idx, length, config):
-    """Decode attention over the stacked (L, B, H, S, D) cache at layer idx."""
-    if _use_fused_attention(config):
-        from zig_gpt2_tpu.ops import attention as fused
+    """Decode attention over the stacked (L, B, H, S, D) cache at layer idx.
+    ``q`` and the result are in the cache's layout (packed when
+    config.kv_packed)."""
+    from zig_gpt2_tpu.ops import attention as fused
 
+    if _use_fused_attention(config):
         return fused.decode_attention_fused(
-            q, caches["k"], caches["v"], length, layer=idx
+            q, caches["k"], caches["v"], length, layer=idx,
+            packed=config.kv_packed, interpret=_fused_interpret(),
         )
     k = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
     v = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
+    if config.kv_packed:  # jnp fallback: unpack views (correct, not hot)
+        out = ops.decode_attention(
+            fused.unpack_heads_rows(q), fused.unpack_heads_seq(k),
+            fused.unpack_heads_seq(v), length)
+        return fused.pack_heads_rows(out)
     return ops.decode_attention(q, k, v, length)
 
 
 def _decode_attention_quant(q, caches, idx, length, config):
-    if _use_fused_attention(config):
-        from zig_gpt2_tpu.ops import attention as fused
+    from zig_gpt2_tpu.ops import attention as fused
 
+    if _use_fused_attention(config):
         return fused.decode_attention_quant_fused(
             q, caches["k"], caches["k_scale"], caches["v"], caches["v_scale"],
-            length, layer=idx,
+            length, layer=idx, packed=config.kv_packed,
+            interpret=_fused_interpret(),
         )
     sl = {
         name: jax.lax.dynamic_index_in_dim(caches[name], idx, 0, keepdims=False)
         for name in ("k", "k_scale", "v", "v_scale")
     }
+    if config.kv_packed:
+        out = ops.decode_attention_quant(
+            fused.unpack_heads_rows(q),
+            fused.unpack_heads_seq(sl["k"]),
+            fused.unpack_head_scales_seq(sl["k_scale"]),
+            fused.unpack_heads_seq(sl["v"]),
+            fused.unpack_head_scales_seq(sl["v_scale"]), length)
+        return fused.pack_heads_rows(out)
     return ops.decode_attention_quant(
         q, sl["k"], sl["k_scale"], sl["v"], sl["v_scale"], length
     )
@@ -179,13 +224,23 @@ def init_kv_cache(
     vs 2·D bf16 — ~2x more sequences per HBM.
     """
     max_seq = max_seq or config.context_size
-    shape = (config.n_layers, batch_size, config.attn_heads, max_seq, config.head_dim)
+    if config.kv_packed:
+        # Head-pair-packed layout (see config.kv_packed / ops.attention):
+        # two heads per 128-lane row; scale planes carry an explicit
+        # even/odd half axis.
+        _, hp = _packed_heads(config)
+        shape = (config.n_layers, batch_size, hp, max_seq, 2 * config.head_dim)
+        plane = (config.n_layers, batch_size, 2, hp, max_seq)
+    else:
+        shape = (config.n_layers, batch_size, config.attn_heads, max_seq,
+                 config.head_dim)
+        plane = shape[:-1]
     if quant == "int8":
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
-            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
-            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "k_scale": jnp.zeros(plane, jnp.float32),
+            "v_scale": jnp.zeros(plane, jnp.float32),
             "length": jnp.zeros((batch_size,), jnp.int32),
         }
     if quant is not None:
@@ -302,13 +357,15 @@ def _put_scale_stacked(
     stack: jax.Array, s: jax.Array, idx: jax.Array, pos: jax.Array
 ) -> jax.Array:
     """Write (B, H) scales into the stacked (L, B, H, S) plane at
-    (idx, b, :, pos[b]). Same per-batch unroll as _put_row_stacked."""
+    (idx, b, …, pos[b]) — or (B, 2, Hp) rows into the packed (L, B, 2, Hp, S)
+    plane. Same per-batch unroll as _put_row_stacked."""
     b = s.shape[0]
     for i in range(b):
+        row = s[i][None, None, ..., None]  # (1, 1, *s.shape[1:], 1)
         stack = jax.lax.dynamic_update_slice(
             stack,
-            s[i][None, None, :, None].astype(stack.dtype),
-            (idx, i, 0, pos[i]),
+            row.astype(stack.dtype),
+            (idx, i) + (0,) * (s.ndim - 1) + (pos[i],),
         )
     return stack
 
@@ -410,9 +467,28 @@ def _block_decode(
     caches = dict(caches)
     sharded = _use_sharded_kernels(config)
     deferred = _use_fused_attention(config) or sharded
+    packed = config.kv_packed
+    if packed:
+        # Head-pair-packed cache: pad a zero phantom head when H is odd
+        # (inert: zero q -> uniform attention over zero v -> zero output,
+        # sliced off below), then fold adjacent heads into 128-lane rows.
+        # The row pack is a FREE reshape; scale rows become (B, 2, Hp).
+        from zig_gpt2_tpu.ops import attention as fused_mod
+
+        assert not sharded, "packed KV layout is single-device-only"
+        hpad, _hp = _packed_heads(config)
+        if hpad != H:
+            zpad = ((0, 0), (0, hpad - H), (0, 0))
+            q = jnp.pad(q, zpad)
+            k = jnp.pad(k, zpad)
+            v = jnp.pad(v, zpad)
+        q = fused_mod.pack_heads_rows(q)
     if "k_scale" in caches:  # INT8 cache: quantize on append
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
+        if packed:
+            kq, vq = fused_mod.pack_heads_rows(kq), fused_mod.pack_heads_rows(vq)
+            ks, vs = fused_mod.pack_head_scales(ks), fused_mod.pack_head_scales(vs)
         if deferred:
             # Attend over the OLD cache + an explicit self-term for this
             # token (mathematically identical; the kernel never reads the
@@ -435,7 +511,8 @@ def _block_decode(
                     q, kq, ks, vq, vs,
                     caches["k"], caches["k_scale"],
                     caches["v"], caches["v_scale"],
-                    pos, layer=idx,
+                    pos, layer=idx, packed=packed,
+                    interpret=_fused_interpret(),
                 )
         caches["k"] = _put_row_stacked(caches["k"], kq, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], vq, idx, pos)
@@ -444,6 +521,8 @@ def _block_decode(
         if not deferred:
             attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
     else:
+        if packed:
+            k, v = fused_mod.pack_heads_rows(k), fused_mod.pack_heads_rows(v)
         if deferred:
             if sharded:
                 from zig_gpt2_tpu.parallel import shard_kernels as sk
@@ -456,12 +535,16 @@ def _block_decode(
                 from zig_gpt2_tpu.ops import attention as fused
 
                 attn = fused.decode_attention_deferred_fused(
-                    q, k, v, caches["k"], caches["v"], pos, layer=idx
+                    q, k, v, caches["k"], caches["v"], pos, layer=idx,
+                    packed=packed, interpret=_fused_interpret(),
                 )
         caches["k"] = _put_row_stacked(caches["k"], k, idx, pos)
         caches["v"] = _put_row_stacked(caches["v"], v, idx, pos)
         if not deferred:
             attn = _decode_attention(q, caches, idx, pos + 1, config)
+    if packed:
+        # (B, Hp, 2D) -> (B, hpad, D), drop the phantom head if any.
+        attn = fused_mod.unpack_heads_rows(attn)[:, :H]
     attn = attn.reshape(x.shape[0], -1)
     x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config, role="row")
     ln2 = _layer_slice(blocks["ln_2"], idx)
@@ -571,6 +654,17 @@ def prefill(
         x, k, v = _block_prefill(x, bp, config, length_mask=length_mask)
         caches = dict(caches)
 
+        if config.kv_packed:
+            # Pack (B, H, T, D) -> (B, Hp, T, 2D) for the packed cache (a
+            # one-time transpose, amortized over the whole prompt); pad the
+            # zero phantom head first when H is odd.
+            from zig_gpt2_tpu.ops import attention as fused_mod
+
+            hpad, _hp = _packed_heads(config)
+            if hpad != k.shape[1]:
+                zpad = ((0, 0), (0, hpad - k.shape[1]), (0, 0), (0, 0))
+                k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+
         def put(stack, rows):  # write the first T rows of layer idx in place
             start = (idx,) + (0,) * (stack.ndim - 1)
             return jax.lax.dynamic_update_slice(
@@ -580,10 +674,16 @@ def prefill(
         if "k_scale" in caches:  # INT8 cache: quantize on append
             kq, ks = ops.quantize_kv(k)
             vq, vs = ops.quantize_kv(v)
+            if config.kv_packed:
+                kq, vq = fused_mod.pack_heads_seq(kq), fused_mod.pack_heads_seq(vq)
+                ks, vs = (fused_mod.pack_head_scales_seq(ks),
+                          fused_mod.pack_head_scales_seq(vs))
             caches["k"], caches["v"] = put(caches["k"], kq), put(caches["v"], vq)
             caches["k_scale"] = put(caches["k_scale"], ks)
             caches["v_scale"] = put(caches["v_scale"], vs)
         else:
+            if config.kv_packed:
+                k, v = fused_mod.pack_heads_seq(k), fused_mod.pack_heads_seq(v)
             caches["k"], caches["v"] = put(caches["k"], k), put(caches["v"], v)
         return (x, caches), None
 

@@ -79,8 +79,12 @@ _BLOCK_BUDGET = 8 * 1024 * 1024
 # separate bc BLOCK axis and loops sub-batches inside the kernel (see
 # _build_kernel) — round 1's sublane-merging folds both lost (40%
 # plane-retile regression / no lowering; BENCHMARKS.md "Negative result —
-# batch-folding").
-_FOLD_CANDIDATES = (8, 4, 2, 1)
+# batch-folding"). Default cap is the hardware-proven bc=2 (the 1205 tok/s
+# config): Mosaic keeps each sub-batch's f32 temporaries live across the
+# unrolled loop, so larger folds risk scoped-VMEM OOM on shapes the TPU
+# tests didn't cover — raise via ZG2_ATTN_FOLD_MAX after measuring.
+_FOLD_MAX = int(os.environ.get("ZG2_ATTN_FOLD_MAX", "2"))
+_FOLD_CANDIDATES = tuple(c for c in (8, 4, 2, 1) if c <= _FOLD_MAX)
 
 
 def _inner_rows(bc, h) -> int:
@@ -145,6 +149,56 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
     if best is None:  # degenerate huge-H fallback: minimal blocks
         return 1, _INNER, -(-s_pad // _INNER)
     return best[3], best[4], best[1]
+
+
+# --- head-pair packing layout helpers (the D=64 half-lane fix) -------------
+# Packed layout: adjacent memory heads (2i, 2i+1) share one 2D=128-lane row;
+# per-head scales are stored half-grouped with an explicit leading 2 axis
+# (0 = even heads, 1 = odd) so the kernel indexes halves statically.
+
+def pack_heads_rows(x: jax.Array) -> jax.Array:
+    """(…, H, D) -> (…, H/2, 2D). FREE: adjacent heads are contiguous."""
+    *lead, h, d = x.shape
+    return x.reshape(*lead, h // 2, 2 * d)
+
+
+def unpack_heads_rows(x: jax.Array) -> jax.Array:
+    """(…, Hp, 2D) -> (…, 2Hp, D). FREE (inverse of pack_heads_rows)."""
+    *lead, hp, d2 = x.shape
+    return x.reshape(*lead, hp * 2, d2 // 2)
+
+
+def pack_heads_seq(x: jax.Array) -> jax.Array:
+    """(…, H, T, D) -> (…, H/2, T, 2D) (prefill K/V; a transpose, one-time)."""
+    *lead, h, t, d = x.shape
+    x = x.reshape(*lead, h // 2, 2, t, d)
+    return jnp.swapaxes(x, -3, -2).reshape(*lead, h // 2, t, 2 * d)
+
+
+def unpack_heads_seq(x: jax.Array) -> jax.Array:
+    """(…, Hp, S, 2D) -> (…, 2Hp, S, D) (inverse of pack_heads_seq)."""
+    *lead, hp, s, d2 = x.shape
+    d = d2 // 2
+    x = x.reshape(*lead, hp, s, 2, d)
+    return jnp.swapaxes(x, -3, -2).reshape(*lead, hp * 2, s, d)
+
+
+def unpack_head_scales_seq(s: jax.Array) -> jax.Array:
+    """(…, 2, Hp, S) -> (…, 2Hp, S) (inverse of pack_head_scales_seq)."""
+    *lead, _two, hp, t = s.shape
+    return jnp.swapaxes(s, -3, -2).reshape(*lead, hp * 2, t)
+
+
+def pack_head_scales(s: jax.Array) -> jax.Array:
+    """(…, H) -> (…, 2, H/2) half-grouped per-head scales."""
+    *lead, h = s.shape
+    return jnp.swapaxes(s.reshape(*lead, h // 2, 2), -1, -2)
+
+
+def pack_head_scales_seq(s: jax.Array) -> jax.Array:
+    """(…, H, T) -> (…, 2, H/2, T) (prefill scale planes)."""
+    *lead, h, t = s.shape
+    return jnp.swapaxes(s.reshape(*lead, h // 2, 2, t), -3, -2)
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -229,6 +283,264 @@ def _plane_spec(h, stacked, sc, bc=1):
                             memory_space=pltpu.VMEM)
     return pl.BlockSpec((1, h, sc), lambda i, j, ln: (i, 0, j),
                         memory_space=pltpu.VMEM)
+
+
+def _plane_spec_packed(hp, stacked, sc, bc=1):
+    """One (1[, 1][, bc], 2, Hp, sc) packed scale-plane block per grid step.
+    Packed planes carry an explicit half axis (0 = even memory heads, 1 =
+    odd) so the kernel reads each half with static leading indices — a
+    grouped (H, sc) layout would need stride-2 or unaligned sublane slices,
+    which Mosaic lowers badly or not at all."""
+    if bc > 1:
+        if stacked:
+            return pl.BlockSpec((1, 1, bc, 2, hp, sc),
+                                lambda i, j, ln, idx: (idx[0], i, 0, 0, 0, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bc, 2, hp, sc),
+                            lambda i, j, ln: (i, 0, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+    if stacked:
+        return pl.BlockSpec((1, 1, 2, hp, sc),
+                            lambda i, j, ln, idx: (idx[0], i, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, 2, hp, sc), lambda i, j, ln: (i, 0, 0, j),
+                        memory_space=pltpu.VMEM)
+
+
+def _srow_spec_packed(hp, stacked, bc=1):
+    """Per-cell (1[, bc], 2, Hp, 1) packed scale rows (deferred variants)."""
+    if bc > 1:
+        if stacked:
+            return pl.BlockSpec((1, bc, 2, hp, 1),
+                                lambda i, j, ln, idx: (i, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bc, 2, hp, 1),
+                            lambda i, j, ln: (i, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if stacked:
+        return pl.BlockSpec((1, 2, hp, 1), lambda i, j, ln, idx: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, 2, hp, 1), lambda i, j, ln: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
+                         sc, scale, out_dtype, padded=True):
+    """Head-pair-PACKED flash-decode kernel body.
+
+    The D=64 half-lane fix (BENCHMARKS.md perf model; round-2 verdict item
+    1): every f32 temporary of the unpacked kernel is (H, ln, D=64) padded
+    to 128 lanes — half of every VPU register row is dead. Here the cache
+    is stored (…, Hp=H/2, S, 2D=128): lanes [0:D] of packed row hp hold
+    head 2·hp, lanes [D:2D] hold head 2·hp+1 (a FREE reshape of the
+    (…, H, D) row — adjacent heads are contiguous), so the 3-D passes
+    (convert, q·K multiply, V weighting, the strided S-reduction) run at
+    full lane occupancy on half the physical elements.
+
+    The per-head 2-D softmax state cannot stay packed (the score reduction
+    collapses D, leaving (…, ln) per head), so the kernel runs TWO disjoint
+    online-softmax recurrences — "lo" for even memory heads (lane half
+    [0:D]) and "hi" for odd (lane half [D:2D]) — over (Hp, ln) arrays;
+    total 2-D work is unchanged (2·Hp == H rows). The V accumulator stays
+    packed (Hp, 2D): the probability rows are broadcast into their lane
+    half (two (Hp, ln, D) broadcasts + one lane concat — the one extra
+    pass packing costs) and corrections/denominators apply per half the
+    same way. Quant scale planes arrive with an explicit half axis
+    (…, 2, Hp, S) — see _plane_spec_packed.
+    """
+    inner = _inner_rows(1, hp)  # temporaries are (Hp, rows, 128): half the
+    # rows of the unpacked kernel's (H, rows, 128) budget, so inner may
+    # legitimately come out 2x larger.
+    dyn_inner = False
+    if not quant:
+        for cand in range(min(inner, sc), 31, -8):
+            if sc % cand == 0:
+                inner, dyn_inner = cand, True
+                break
+
+    def kernel(*args):
+        if stacked:
+            len_ref, _idx_ref, *refs = args
+        else:
+            len_ref, *refs = args
+        it = iter(refs)
+        q_ref = next(it)
+        if deferred:
+            kn_ref = next(it)
+            ksn_ref = next(it) if quant else None
+            vn_ref = next(it)
+            vsn_ref = next(it) if quant else None
+        k_ref = next(it)
+        ks_ref = next(it) if quant else None
+        v_ref = next(it)
+        vs_ref = next(it) if quant else None
+        out_ref = next(it)
+        m_s, den_s, acc_s = next(it), next(it), next(it)
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def row(ref, t):
+            return ref[0, t] if bc > 1 else ref[0]
+
+        def srow(ref, t, half):
+            # (1[, bc], 2, Hp, 1) -> (Hp, 1)
+            return ref[0, t, half] if bc > 1 else ref[0, half]
+
+        def cache_slice(ref, t, c0, ln):
+            idx = pl.ds(c0, ln)
+            if stacked:
+                return (ref[0, 0, t, :, idx, :] if bc > 1
+                        else ref[0, 0, :, idx, :])
+            return (ref[0, t, :, idx, :] if bc > 1
+                    else ref[0, :, idx, :])
+
+        def plane_slice(ref, t, half, c0, ln):
+            # (…, 2, Hp, sc) -> (Hp, ln)
+            idx = pl.ds(c0, ln)
+            if stacked:
+                return (ref[0, 0, t, half, :, idx] if bc > 1
+                        else ref[0, 0, half, :, idx])
+            return (ref[0, t, half, :, idx] if bc > 1
+                    else ref[0, half, :, idx])
+
+        def scratch_read(sref, t, half):
+            return sref[t, half] if bc > 1 else sref[half]
+
+        def scratch_write(sref, t, half, val):
+            if bc > 1:
+                sref[t, half] = val
+            else:
+                sref[half] = val
+
+        def lane_pack(lo, hi, rows):
+            """Broadcast (Hp, ln) lo/hi rows into their D-lane halves and
+            concat to (Hp, ln, 2D) (or (Hp, 2D) for 2-D lo/hi)."""
+            return jnp.concatenate(
+                [jnp.broadcast_to(lo[..., None], (*lo.shape, d)),
+                 jnp.broadcast_to(hi[..., None], (*hi.shape, d))],
+                axis=-1,
+            ) if rows else jnp.concatenate(
+                [jnp.broadcast_to(lo, (lo.shape[0], d)),
+                 jnp.broadcast_to(hi, (hi.shape[0], d))],
+                axis=-1,
+            )
+
+        for t in range(bc):
+            qf = row(q_ref, t).astype(jnp.float32)  # (Hp, 2D)
+            seq_len = len_ref[i * bc + t] if bc > 1 else len_ref[i]
+
+            if deferred:
+                knf = row(kn_ref, t).astype(jnp.float32)
+                p = knf * qf  # (Hp, 2D)
+                init_m_lo = jnp.sum(p[:, :d], axis=-1, keepdims=True) * scale
+                init_m_hi = jnp.sum(p[:, d:], axis=-1, keepdims=True) * scale
+                if quant:
+                    init_m_lo = init_m_lo * srow(ksn_ref, t, 0).astype(jnp.float32)
+                    init_m_hi = init_m_hi * srow(ksn_ref, t, 1).astype(jnp.float32)
+                init_den = jnp.ones((hp, 1), jnp.float32)
+                init_acc = row(vn_ref, t).astype(jnp.float32)  # (Hp, 2D)
+                if quant:
+                    init_acc = init_acc * lane_pack(
+                        srow(vsn_ref, t, 0).astype(jnp.float32),
+                        srow(vsn_ref, t, 1).astype(jnp.float32), rows=False)
+            else:
+                init_m_lo = jnp.full((hp, 1), MASK_VALUE, jnp.float32)
+                init_m_hi = init_m_lo
+                init_den = jnp.zeros((hp, 1), jnp.float32)
+                init_acc = jnp.zeros((hp, 2 * d), jnp.float32)
+            if n_chunks == 1:
+                m_lo, m_hi = init_m_lo, init_m_hi
+                den_lo, den_hi = init_den, init_den
+                acc = init_acc
+            else:
+                first = j == 0
+                m_lo = jnp.where(first, init_m_lo, scratch_read(m_s, t, 0))
+                m_hi = jnp.where(first, init_m_hi, scratch_read(m_s, t, 1))
+                den_lo = jnp.where(first, init_den, scratch_read(den_s, t, 0))
+                den_hi = jnp.where(first, init_den, scratch_read(den_s, t, 1))
+                acc = jnp.where(first, init_acc,
+                                acc_s[t] if bc > 1 else acc_s[:])
+
+            def fold_chunk(c0, ln, m_lo, m_hi, den_lo, den_hi, acc):
+                kc = cache_slice(k_ref, t, c0, ln).astype(jnp.float32)
+                prod = kc * qf[:, None, :]  # (Hp, ln, 2D)
+                s_lo = jnp.sum(prod[..., :d], axis=-1) * scale  # (Hp, ln)
+                s_hi = jnp.sum(prod[..., d:], axis=-1) * scale
+                if quant:
+                    s_lo = s_lo * plane_slice(ks_ref, t, 0, c0, ln).astype(jnp.float32)
+                    s_hi = s_hi * plane_slice(ks_ref, t, 1, c0, ln).astype(jnp.float32)
+                ids = j * sc + c0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (hp, ln), 1)
+                valid = ids < seq_len
+                s_lo = jnp.where(valid, s_lo, MASK_VALUE)
+                s_hi = jnp.where(valid, s_hi, MASK_VALUE)
+                m_lo_new = jnp.maximum(m_lo, jnp.max(s_lo, axis=-1, keepdims=True))
+                m_hi_new = jnp.maximum(m_hi, jnp.max(s_hi, axis=-1, keepdims=True))
+                corr_lo = jnp.exp(m_lo - m_lo_new)
+                corr_hi = jnp.exp(m_hi - m_hi_new)
+                e_lo = jnp.where(valid, jnp.exp(s_lo - m_lo_new), 0.0)
+                e_hi = jnp.where(valid, jnp.exp(s_hi - m_hi_new), 0.0)
+                den_lo = den_lo * corr_lo + jnp.sum(e_lo, axis=-1, keepdims=True)
+                den_hi = den_hi * corr_hi + jnp.sum(e_hi, axis=-1, keepdims=True)
+                if quant:  # V scales weight the sum, never the denominator
+                    e_lo = e_lo * plane_slice(vs_ref, t, 0, c0, ln).astype(jnp.float32)
+                    e_hi = e_hi * plane_slice(vs_ref, t, 1, c0, ln).astype(jnp.float32)
+                    if padded:
+                        # Rows past S are uninitialized block padding and
+                        # 0 * NaN = NaN — re-mask after the scale multiply
+                        # (vanishes statically when chunks cover exactly S).
+                        e_lo = jnp.where(valid, e_lo, 0.0)
+                        e_hi = jnp.where(valid, e_hi, 0.0)
+                vc = cache_slice(v_ref, t, c0, ln).astype(jnp.float32)
+                if padded:
+                    validf = valid.astype(jnp.float32)
+                    vc = jnp.where(validf[:, :, None] > 0.0, vc, 0.0)
+                ev = lane_pack(e_lo, e_hi, rows=True) * vc  # (Hp, ln, 2D)
+                corr_p = lane_pack(corr_lo, corr_hi, rows=False)  # (Hp, 2D)
+                acc = acc * corr_p + jnp.sum(ev, axis=1)
+                return m_lo_new, m_hi_new, den_lo, den_hi, acc
+
+            if dyn_inner:
+                valid_rows = jnp.clip(seq_len - j * sc, 0, sc)
+                n_dyn = (valid_rows + inner - 1) // inner
+
+                def body_fn(it_, carry):
+                    return fold_chunk(it_ * inner, inner, *carry)
+
+                m_lo, m_hi, den_lo, den_hi, acc = jax.lax.fori_loop(
+                    0, n_dyn, body_fn, (m_lo, m_hi, den_lo, den_hi, acc))
+            else:
+                for c0 in range(0, sc, inner):
+                    m_lo, m_hi, den_lo, den_hi, acc = fold_chunk(
+                        c0, min(inner, sc - c0),
+                        m_lo, m_hi, den_lo, den_hi, acc)
+
+            def emit(t=t, acc=acc, den_lo=den_lo, den_hi=den_hi):
+                den_p = lane_pack(den_lo, den_hi, rows=False)
+                if bc > 1:
+                    out_ref[0, t] = (acc / den_p).astype(out_dtype)
+                else:
+                    out_ref[0] = (acc / den_p).astype(out_dtype)
+
+            if n_chunks == 1:
+                emit()
+            else:
+                @pl.when(j < n_chunks - 1)
+                def _carry(t=t, m_lo=m_lo, m_hi=m_hi, den_lo=den_lo,
+                           den_hi=den_hi, acc=acc):
+                    scratch_write(m_s, t, 0, m_lo)
+                    scratch_write(m_s, t, 1, m_hi)
+                    scratch_write(den_s, t, 0, den_lo)
+                    scratch_write(den_s, t, 1, den_hi)
+                    if bc > 1:
+                        acc_s[t] = acc
+                    else:
+                        acc_s[:] = acc
+
+                pl.when(j == n_chunks - 1)(emit)
+
+    return kernel
 
 
 def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
@@ -456,10 +768,16 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
 def _attention_call(
     *, q, k_cache, v_cache, length, layer, interpret, quant,
     deferred, k_scale=None, v_scale=None,
-    k_new=None, ks_new=None, v_new=None, vs_new=None,
+    k_new=None, ks_new=None, v_new=None, vs_new=None, packed=False,
 ):
     stacked = layer is not None
-    b, h, d = q.shape
+    if packed:
+        # q/k_new/v_new: (B, Hp, 2D) head-pair rows; caches (…, Hp, S, 2D);
+        # scale planes (…, 2, Hp, S); ks_new/vs_new (B, 2, Hp).
+        b, hp, d2 = q.shape
+        h, d = hp, d2 // 2  # `h` = packed row count for block sizing
+    else:
+        b, h, d = q.shape
     s = k_cache.shape[-2]
     bc, sc, n_chunks = _pick_block(
         b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant, foldable=True)
@@ -478,109 +796,129 @@ def _attention_call(
             return a.reshape(a.shape[0], bg, bc, *a.shape[2:])
         return a.reshape(bg, bc, *a.shape[1:])
 
-    in_specs = [_row_spec(h, d, stacked, bc)]
+    dl = 2 * d if packed else d  # lane width of row/cache blocks
+    srow_spec = (_srow_spec_packed(h, stacked, bc) if packed
+                 else _srow_spec(h, stacked, bc))
+    plane_spec = (_plane_spec_packed(h, stacked, sc, bc) if packed
+                  else _plane_spec(h, stacked, sc, bc))
+    in_specs = [_row_spec(h, dl, stacked, bc)]
     inputs = [fold_rows(q)]
     if deferred:
-        in_specs.append(_row_spec(h, d, stacked, bc))
+        in_specs.append(_row_spec(h, dl, stacked, bc))
         inputs.append(fold_rows(k_new.astype(q.dtype) if not quant else k_new))
         if quant:
-            in_specs.append(_srow_spec(h, stacked, bc))
+            in_specs.append(srow_spec)
             inputs.append(fold_rows(ks_new[..., None]))
-        in_specs.append(_row_spec(h, d, stacked, bc))
+        in_specs.append(_row_spec(h, dl, stacked, bc))
         inputs.append(fold_rows(v_new.astype(q.dtype) if not quant else v_new))
         if quant:
-            in_specs.append(_srow_spec(h, stacked, bc))
+            in_specs.append(srow_spec)
             inputs.append(fold_rows(vs_new[..., None]))
-    in_specs.append(_cache_spec(h, d, stacked, sc, bc))
+    in_specs.append(_cache_spec(h, dl, stacked, sc, bc))
     inputs.append(fold_cache(k_cache))
     if quant:
-        in_specs.append(_plane_spec(h, stacked, sc, bc))
+        in_specs.append(plane_spec)
         inputs.append(fold_cache(k_scale))
-    in_specs.append(_cache_spec(h, d, stacked, sc, bc))
+    in_specs.append(_cache_spec(h, dl, stacked, sc, bc))
     inputs.append(fold_cache(v_cache))
     if quant:
-        in_specs.append(_plane_spec(h, stacked, sc, bc))
+        in_specs.append(plane_spec)
         inputs.append(fold_cache(v_scale))
 
-    kernel = _build_kernel(
-        stacked=stacked, quant=quant, deferred=deferred, bc=bc,
-        h=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale, out_dtype=q.dtype,
-        padded=n_chunks * sc > s,
-    )
+    if packed:
+        kernel = _build_kernel_packed(
+            stacked=stacked, quant=quant, deferred=deferred, bc=bc,
+            hp=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale,
+            out_dtype=q.dtype, padded=n_chunks * sc > s,
+        )
+    else:
+        kernel = _build_kernel(
+            stacked=stacked, quant=quant, deferred=deferred, bc=bc,
+            h=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale,
+            out_dtype=q.dtype, padded=n_chunks * sc > s,
+        )
     scratch_lead = (bc,) if bc > 1 else ()
+    state_lead = (*scratch_lead, 2) if packed else scratch_lead
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if stacked else 1,
         grid=(bg, n_chunks),
         in_specs=in_specs,
-        out_specs=_row_spec(h, d, stacked, bc),
+        out_specs=_row_spec(h, dl, stacked, bc),
         scratch_shapes=[
-            pltpu.VMEM((*scratch_lead, h, 1), jnp.float32),  # running max
-            pltpu.VMEM((*scratch_lead, h, 1), jnp.float32),  # running denom
-            pltpu.VMEM((*scratch_lead, h, d), jnp.float32),  # running V acc
+            pltpu.VMEM((*state_lead, h, 1), jnp.float32),  # running max
+            pltpu.VMEM((*state_lead, h, 1), jnp.float32),  # running denom
+            pltpu.VMEM((*scratch_lead, h, dl), jnp.float32),  # running V acc
         ],
     )
     scalars = [_lengths_for(q, length)]
     if stacked:
         scalars.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
-    out_shape = ((bg, bc, h, d) if bc > 1 else (bg, h, d))
+    out_shape = ((bg, bc, h, dl) if bc > 1 else (bg, h, dl))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=interpret,
     )(*scalars, *inputs)
-    return out if bc == 1 else out.reshape(b, h, d)
+    return out if bc == 1 else out.reshape(b, h, dl)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_fused(q, k_cache, v_cache, length, *,
-                           interpret=False, layer=None):
+                           interpret=False, layer=None, packed=False):
     """Fused decode attention. q: (B, H, D); caches: (B, H, S, D) —
     stacked (L, B, H, S, D) when ``layer`` is given; length: scalar or (B,)
-    valid rows. Returns (B, H, D) in q.dtype."""
+    valid rows. Returns (B, H, D) in q.dtype.
+
+    ``packed=True`` takes the head-pair-packed layout instead: q (B, Hp, 2D)
+    and caches (…, Hp, S, 2D) with head 2i/2i+1 in lane halves [0:D]/[D:2D]
+    (see _build_kernel_packed); returns (B, Hp, 2D)."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
-        interpret=interpret, quant=False, deferred=False,
+        interpret=interpret, quant=False, deferred=False, packed=packed,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_quant_fused(q, k_cache, k_scale, v_cache, v_scale,
-                                 length, *, interpret=False, layer=None):
+                                 length, *, interpret=False, layer=None,
+                                 packed=False):
     """Fused decode attention over an INT8 cache. k_scale/v_scale:
-    (…, H, S) f32 per-(token, head) scales."""
+    (…, H, S) f32 per-(token, head) scales — (…, 2, Hp, S) with an explicit
+    even/odd-head half axis when ``packed``."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=True, deferred=False,
-        k_scale=k_scale, v_scale=v_scale,
+        k_scale=k_scale, v_scale=v_scale, packed=packed,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_deferred_fused(q, k_new, v_new, k_cache, v_cache,
-                                    length, *, interpret=False, layer=None):
+                                    length, *, interpret=False, layer=None,
+                                    packed=False):
     """Deferred-append decode attention: attends over ``length`` OLD cache
     rows plus an explicit self-term for the (un-appended) current token —
     mathematically identical to append-then-attend over length+1 rows."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=False, deferred=True,
-        k_new=k_new, v_new=v_new,
+        k_new=k_new, v_new=v_new, packed=packed,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_quant_deferred_fused(
     q, k_new, ks_new, v_new, vs_new, k_cache, k_scale, v_cache, v_scale,
-    length, *, interpret=False, layer=None,
+    length, *, interpret=False, layer=None, packed=False,
 ):
     """Deferred-append decode attention over an INT8 cache. k_new/v_new are
-    the already-quantized (B, H, D) int8 rows with (B, H) scales — the same
-    values the cache append stores, so the math is bit-identical to
-    append-then-attend."""
+    the already-quantized (B, H, D) int8 rows with (B, H) scales ((B, Hp, 2D)
+    rows with (B, 2, Hp) scales when ``packed``) — the same values the cache
+    append stores, so the math is bit-identical to append-then-attend."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=True, deferred=True,
         k_scale=k_scale, v_scale=v_scale,
-        k_new=k_new, ks_new=ks_new, v_new=v_new, vs_new=vs_new,
+        k_new=k_new, ks_new=ks_new, v_new=v_new, vs_new=vs_new, packed=packed,
     )
