@@ -135,12 +135,23 @@ class InferenceEngine:
         kv_quant: Optional[str] = None,
         cache_dtype: Optional[jnp.dtype] = None,
         mesh=None,
+        decode_chunk: Optional[int] = None,
     ):
         """``mesh``: a (data, model) jax.sharding.Mesh for sharded serving.
         If ``config.spmd`` is not already set (params not yet padded/placed
         — e.g. cli.py does it before quantizing), the engine pads + shards
         them itself via parallel.mesh.prepare_params. batch_size must
-        divide the data axis."""
+        divide the data axis.
+
+        ``decode_chunk``: tokens decoded on device per host round-trip in
+        the streaming path (generate_iter). Each sync costs a full host
+        round-trip (~35 ms through a tunneled chip — ~97%% of streaming
+        latency there), so chunking is the difference between streaming at
+        the chip's speed and at the link's. Stop-token checks happen at
+        chunk granularity and overshoot is discarded, so visible output is
+        unchanged; the cache carries decode_chunk-1 rows of headroom for
+        the discarded steps (same scheme as ContinuousBatcher). Default: 8
+        on TPU, 1 elsewhere (CPU tests keep per-token semantics)."""
         if mesh is not None:
             from zig_gpt2_tpu.parallel import mesh as pmesh
 
@@ -152,6 +163,14 @@ class InferenceEngine:
                     f"batch_size {batch_size} not divisible by data-parallel "
                     f"degree {dp} (mesh {dict(mesh.shape)})"
                 )
+        if not config.kv_packed and gpt2.default_kv_packed(config):
+            # Serve with the head-pair-packed cache layout whenever the
+            # fused single-device kernels are active (the D=64 half-lane
+            # fix — see config.kv_packed). Must be decided here, before
+            # the cache template / jitted steps are built.
+            import dataclasses
+
+            config = dataclasses.replace(config, kv_packed=True)
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -163,6 +182,11 @@ class InferenceEngine:
             if b <= self.max_seq
         ) or (self.max_seq,)
         self.kv_quant = kv_quant
+        if decode_chunk is None:
+            decode_chunk = 8 if jax.default_backend() == "tpu" else 1
+        self.decode_chunk = max(int(decode_chunk), 1)
+        # Headroom rows for chunk overshoot (see decode_chunk docstring).
+        self._cache_rows = self.max_seq + (self.decode_chunk - 1)
         # wte is always a float leaf even when the linears are quantized.
         self.cache_dtype = cache_dtype or params["wte"].dtype
         self._step_cache: dict = {}  # jitted step fns, keyed by sampling cfg
@@ -182,7 +206,7 @@ class InferenceEngine:
             self._cache_fmt = cache_formats(
                 jax.eval_shape(
                     lambda: gpt2.init_kv_cache(
-                        config, batch_size, self.max_seq,
+                        config, batch_size, self._cache_rows,
                         dtype=self.cache_dtype, quant=kv_quant,
                     )
                 ),
@@ -196,7 +220,7 @@ class InferenceEngine:
             self._cache_fmt = cache_formats(
                 jax.eval_shape(
                     lambda: gpt2.init_kv_cache(
-                        config, batch_size, self.max_seq,
+                        config, batch_size, self._cache_rows,
                         dtype=self.cache_dtype, quant=kv_quant,
                     )
                 )
@@ -218,7 +242,7 @@ class InferenceEngine:
         cache = gpt2.init_kv_cache(
             self.config,
             self.batch_size,
-            self.max_seq,
+            self._cache_rows,
             dtype=self.cache_dtype,
             quant=self.kv_quant,
         )
@@ -315,19 +339,50 @@ class InferenceEngine:
         token.block_until_ready()
         metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
-        step = self._sample_step(sampling.temperature, sampling.top_k,
-                                 sampling.top_p)
         stops = set(stop_tokens)
         t_decode = time.perf_counter()
-        for _ in range(steps):
+        if self.decode_chunk == 1:
+            step = self._sample_step(sampling.temperature, sampling.top_k,
+                                     sampling.top_p)
+            for _ in range(steps):
+                t1 = time.perf_counter()
+                tok_host = int(token[0])  # one host sync per token
+                if tok_host in stops:
+                    break
+                cache, token, key = step(self.params, cache, token, key)
+                metrics.generated_tokens += 1
+                metrics.per_token_ms.append((time.perf_counter() - t1) * 1000.0)
+                yield tok_host
+            metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
+            return
+
+        # Chunked streaming: decode_chunk tokens per dispatch+sync — the
+        # per-token host round-trip (35 ms through a tunneled chip vs ~1 ms
+        # of compute at 124M) amortizes chunk-fold. Stop/budget checks run
+        # host-side per chunk; overshoot steps write only headroom rows and
+        # their tokens are never yielded, so visible output is identical to
+        # the per-token loop.
+        runner = self._chunk_runner(self.decode_chunk, sampling.temperature,
+                                    sampling.top_k, sampling.top_p)
+        pending = [int(token[0])]  # the first sampled token (one sync)
+        emitted = 0
+        while True:
             t1 = time.perf_counter()
-            tok_host = int(token[0])  # the one host sync per token (streaming)
-            if tok_host in stops:
+            stopped = False
+            for t in pending:
+                if emitted >= steps or t in stops:
+                    stopped = True
+                    break
+                metrics.generated_tokens += 1
+                emitted += 1
+                yield t
+            if stopped or emitted >= steps:
                 break
-            cache, token, key = step(self.params, cache, token, key)
-            metrics.generated_tokens += 1
-            metrics.per_token_ms.append((time.perf_counter() - t1) * 1000.0)
-            yield tok_host
+            cache, toks, token, key = runner(self.params, cache, token, key)
+            arr = np.asarray(toks)[:, 0]  # (chunk,) — the one sync per chunk
+            chunk_ms = (time.perf_counter() - t1) * 1000.0
+            metrics.per_token_ms.extend([chunk_ms / len(arr)] * len(arr))
+            pending = [int(v) for v in arr]
         metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
 
     def generate_text(
@@ -364,6 +419,37 @@ class InferenceEngine:
                 stream_to.write(tail)
                 stream_to.flush()
         return "".join(pieces)
+
+    def _chunk_runner(self, n: int, temperature: float, top_k: Optional[int],
+                      top_p: Optional[float]):
+        """Jitted n-step decode+sample chunk: one dispatch emits (n, B)
+        tokens plus the carried state (see generate_iter's chunked path)."""
+        cache_key = ("chunk", n, temperature, top_k, top_p)
+        hit = self._step_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        use_kernel = not self.config.spmd
+        mesh = self.config.mesh if self.config.spmd else None
+
+        def run(params, cache, token, key):
+            def body(carry, _):
+                cache, token, key = carry
+                cache, logits = gpt2.decode_step(params, cache, token,
+                                                 self.config)
+                key, sub = jax.random.split(key)
+                token = sample(logits, sub, temperature, top_k, top_p,
+                               use_kernel=use_kernel, mesh=mesh)
+                return (cache, token, key), token
+
+            (cache, token, key), toks = jax.lax.scan(
+                body, (cache, token, key), None, length=n
+            )
+            return cache, toks, token, key
+
+        fn = jax.jit(run, donate_argnums=(1,),
+                     out_shardings=(self._cache_fmt, None, None, None))
+        self._step_cache[cache_key] = fn
+        return fn
 
     # -- fully-on-device generation (benchmark / batch path) ------------------
 
