@@ -179,3 +179,53 @@ class TestChunkedDecode:
         batcher.submit(prompt, max_new_tokens=10, stop_tokens=[stop])
         done = batcher.run()
         assert done[0].generated == expected  # truncated mid-chunk, stop dropped
+
+
+class TestGroupedAdmission:
+    """Cold-start admissions are batched: one fused k-sequence prefill per
+    bucket group (powers-of-two decomposition), not one dispatch per slot."""
+
+    def test_cold_start_grouping_and_parity(self, params, rng):
+        prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, n))
+                   for n in (3, 7, 5, 12, 9)]
+        want = _reference_outputs(params, prompts, max_new=6)
+
+        batcher = ContinuousBatcher(
+            GPT2_NANO, params, batch_size=5, max_seq=64,
+            prompt_buckets=(16,), sampling=GREEDY,
+        )
+        rids = [batcher.submit(p, max_new_tokens=6) for p in prompts]
+        done = batcher.run()
+        # 5 same-bucket slots admitted at once -> 4 + 1, two dispatches.
+        assert set(batcher._prefill_inserts) == {4, 1}
+        by_rid = {r.rid: r.generated for r in done}
+        for rid, w in zip(rids, want):
+            assert by_rid[rid] == w, f"request {rid} diverged"
+        assert batcher.metrics.prefills == 5
+
+    def test_mixed_buckets_group_separately(self, params, rng):
+        short = [list(rng.integers(0, 64, 3)) for _ in range(2)]
+        long = [list(rng.integers(0, 64, 20)) for _ in range(2)]
+        prompts = [short[0], long[0], short[1], long[1]]
+        want = {
+            tuple(p): out for p, out in zip(
+                prompts,
+                [
+                    InferenceEngine(
+                        GPT2_NANO, params, batch_size=1, max_seq=64,
+                        prompt_buckets=(8, 32),
+                    ).generate(p, max_new_tokens=5, sampling=GREEDY)
+                    for p in prompts
+                ],
+            )
+        }
+        batcher = ContinuousBatcher(
+            GPT2_NANO, params, batch_size=4, max_seq=64,
+            prompt_buckets=(8, 32), sampling=GREEDY,
+        )
+        rids = [batcher.submit(p, max_new_tokens=5) for p in prompts]
+        done = {r.rid: r.generated for r in batcher.run()}
+        # Two buckets x two requests -> two k=2 groups share one jit variant.
+        assert set(batcher._prefill_inserts) == {2}
+        for rid, p in zip(rids, prompts):
+            assert done[rid] == want[tuple(p)], f"request {rid} diverged"

@@ -4,9 +4,11 @@ The TPU decode step is a fixed-shape jitted function over a (B, â€¦) KV cache â€
 re-tracing per request set would be ruinous. So serving keeps ONE cache of B
 slots alive forever and streams *requests* through *slots*:
 
-- ``submit`` queues a request; free slots are filled by a single-sequence
-  bucketed prefill whose KV rows are spliced into the shared cache at the
-  slot's batch index (one jitted ``dynamic_update_slice`` per leaf).
+- ``submit`` queues a request; free slots are filled in BUCKET GROUPS: one
+  k-sequence bucketed prefill per group whose KV rows are spliced into the
+  shared cache at each slot's batch index (k unrolled
+  ``dynamic_update_slice`` per leaf, k decomposed into powers of two to
+  bound jit variants). A 16-slot cold start is ~2 dispatches, not 16.
 - every ``step`` runs ``decode_chunk`` fused decode+sample sub-steps for
   the whole batch on device and syncs one (chunk, B) int32 token block to
   the host, where per-request bookkeeping (stop tokens, budgets,
@@ -25,7 +27,6 @@ prompt per process (main.zig:344-371) â€” this subsystem is the BASELINE
 
 from __future__ import annotations
 
-import functools
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -121,6 +122,13 @@ class ContinuousBatcher:
                     f"batch_size {batch_size} not divisible by data-parallel "
                     f"degree {dp} (mesh {dict(mesh.shape)})"
                 )
+        if not config.kv_packed and gpt2.default_kv_packed(config):
+            # Head-pair-packed cache layout under the fused single-device
+            # kernels (see config.kv_packed) â€” decided before any cache /
+            # jit construction below.
+            import dataclasses
+
+            config = dataclasses.replace(config, kv_packed=True)
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -170,42 +178,12 @@ class ContinuousBatcher:
             self._slot_shardings = None
         if self._cache_fmt is not None:
             self.cache = jax.tree.map(jax.device_put, self.cache, self._cache_fmt)
-        self._slot_cache_proto = functools.partial(
-            gpt2.init_kv_cache, config, 1, cache_rows, dtype=cache_dtype,
-            quant=kv_quant,
-        )
         self._key = jax.random.PRNGKey(sampling.seed)
 
-        def prefill_insert(params, cache, slot_init, tokens, length, idx,
-                           feed, key):
-            """Admission fused into ONE dispatch with NO host sync:
-            single-sequence prefill, splice into the shared cache at slot
-            ``idx`` (length is reset by the splice itself), sample the first
-            token straight into the device-resident feed vector."""
-            slot_cache, logits = gpt2.prefill(
-                params, slot_init, tokens, length, config
-            )
-            out = {}
-            for name, leaf in cache.items():
-                axis = 0 if name == "length" else 1
-                out[name] = jax.lax.dynamic_update_slice_in_dim(
-                    leaf, slot_cache[name].astype(leaf.dtype), idx, axis=axis
-                )
-            key, sub = jax.random.split(key)
-            first = sample(logits, sub, sampling.temperature,
-                           sampling.top_k, sampling.top_p,
-                           use_kernel=not config.spmd,
-                           mesh=config.mesh if config.spmd else None)
-            feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx, axis=0)
-            return out, feed, key
-
-        # slot_init is NOT donated: its buffers can't alias the spliced
-        # outputs (XLA warns and ignores the donation); the main cache and
-        # the feed vector are.
-        self._prefill_insert = jax.jit(
-            prefill_insert, donate_argnums=(1, 6),
-            out_shardings=(self._cache_fmt, None, None),
-        )
+        self._cache_rows = cache_rows
+        self._cache_dtype = cache_dtype
+        # Jitted k-slot admission fns, keyed by k (see _get_prefill_insert).
+        self._prefill_inserts: Dict[int, Any] = {}
 
         chunk = self.decode_chunk
 
@@ -329,33 +307,110 @@ class ContinuousBatcher:
 
     # -- internals -------------------------------------------------------------
 
-    def _admit(self) -> None:
-        for i in range(self.batch_size):
-            if self.slots[i] is not None or not self.queue:
-                continue
-            req = self.queue.popleft()
-            t0 = time.perf_counter()
-            n = len(req.prompt_ids)
-            bucket = _bucket(n, self.prompt_buckets)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :n] = req.prompt_ids
-            slot_init = self._slot_cache_proto()
-            if self._slot_shardings is not None:
-                slot_init = jax.device_put(slot_init, self._slot_shardings)
-            self.cache, self._tokens, self._key = self._prefill_insert(
-                self.params,
-                self.cache,
-                slot_init,
-                jnp.asarray(toks),
-                jnp.asarray([n], jnp.int32),
-                i,
-                self._tokens,
-                self._key,
+    def _get_prefill_insert(self, k: int):
+        """Jitted k-slot admission fused into ONE dispatch with NO host
+        sync: one bucketed k-sequence prefill, k cache splices at the
+        slots' batch indices (each slot's length is reset by its splice),
+        and the k first tokens sampled straight into the device-resident
+        feed vector. k is a static shape â€” _admit keeps the variant count
+        at log2(B) by decomposing free-slot groups into powers of two.
+
+        A 16-slot cold start is thus ~2 dispatches (8+8 or 16) instead of
+        16 sequential ones â€” under a tunneled chip each dispatch costs a
+        fixed ~35 ms of link latency, so this is the serve-mode p99 fix."""
+        hit = self._prefill_inserts.get(k)
+        if hit is not None:
+            return hit
+        config, sampling = self.config, self.sampling
+
+        def prefill_insert(params, cache, slot_init, tokens, lengths, idxs,
+                           feed, key):
+            slot_cache, logits = gpt2.prefill(
+                params, slot_init, tokens, lengths, config
             )
-            req.slot = i
-            self.slots[i] = req
-            self.metrics.prefills += 1
-            self.metrics.prefill_s += time.perf_counter() - t0
+            out = {}
+            for name, leaf in cache.items():
+                axis = 0 if name == "length" else 1
+                rows = slot_cache[name].astype(leaf.dtype)
+                for j in range(k):  # unrolled: k is static, idxs[j] dynamic
+                    leaf = jax.lax.dynamic_update_slice_in_dim(
+                        leaf,
+                        jax.lax.slice_in_dim(rows, j, j + 1, axis=axis),
+                        idxs[j], axis=axis,
+                    )
+                out[name] = leaf
+            key, sub = jax.random.split(key)
+            first = sample(logits, sub, sampling.temperature,
+                           sampling.top_k, sampling.top_p,
+                           use_kernel=not config.spmd,
+                           mesh=config.mesh if config.spmd else None)
+            for j in range(k):
+                feed = jax.lax.dynamic_update_slice_in_dim(
+                    feed, first[j:j + 1], idxs[j], axis=0
+                )
+            return out, feed, key
+
+        # slot_init is NOT donated: its buffers can't alias the spliced
+        # outputs (XLA warns and ignores the donation); the main cache and
+        # the feed vector are.
+        fn = jax.jit(
+            prefill_insert, donate_argnums=(1, 6),
+            out_shardings=(self._cache_fmt, None, None),
+        )
+        self._prefill_inserts[k] = fn
+        return fn
+
+    def _admit(self) -> None:
+        free = [i for i in range(self.batch_size) if self.slots[i] is None]
+        if not free or not self.queue:
+            return
+        # Pair queued requests with free slots, grouped by prompt bucket so
+        # each group shares one static prefill shape.
+        by_bucket: Dict[int, List[tuple]] = {}
+        for i in free:
+            if not self.queue:
+                break
+            req = self.queue.popleft()
+            bucket = _bucket(len(req.prompt_ids), self.prompt_buckets)
+            by_bucket.setdefault(bucket, []).append((i, req))
+
+        for bucket, group in by_bucket.items():
+            # Power-of-two chunks: bounded jit variants, biggest first.
+            start = 0
+            while start < len(group):
+                k = 1 << ((len(group) - start).bit_length() - 1)
+                chunk = group[start:start + k]
+                start += k
+                t0 = time.perf_counter()
+                toks = np.zeros((k, bucket), np.int32)
+                lens = np.zeros((k,), np.int32)
+                idxs = np.zeros((k,), np.int32)
+                for j, (i, req) in enumerate(chunk):
+                    n = len(req.prompt_ids)
+                    toks[j, :n] = req.prompt_ids
+                    lens[j] = n
+                    idxs[j] = i
+                slot_init = gpt2.init_kv_cache(
+                    self.config, k, self._cache_rows,
+                    dtype=self._cache_dtype, quant=self.kv_quant,
+                )
+                if self._slot_shardings is not None:
+                    slot_init = jax.device_put(slot_init, self._slot_shardings)
+                self.cache, self._tokens, self._key = self._get_prefill_insert(k)(
+                    self.params,
+                    self.cache,
+                    slot_init,
+                    jnp.asarray(toks),
+                    jnp.asarray(lens),
+                    jnp.asarray(idxs),
+                    self._tokens,
+                    self._key,
+                )
+                for i, req in chunk:
+                    req.slot = i
+                    self.slots[i] = req
+                self.metrics.prefills += k
+                self.metrics.prefill_s += time.perf_counter() - t0
 
     def _retire(self, slot: int, req: Request) -> None:
         # No device work: an idle slot keeps decoding garbage that the host
