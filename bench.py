@@ -44,6 +44,10 @@ def main() -> None:
                         "(with --mesh; the SP experiment, SURVEY §2.3)")
     args = p.parse_args()
 
+    from zig_gpt2_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # ZG2_PLATFORM=cpu for off-chip smoke runs
+
     import jax
     import jax.numpy as jnp
     import numpy as np

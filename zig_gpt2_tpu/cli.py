@@ -54,8 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "continuous-batching scheduler instead of a single prompt")
     p.add_argument("--batch-slots", type=int, default=8,
                    help="decode slots for --batch-file serving")
-    p.add_argument("--decode-chunk", type=int, default=1,
-                   help="on-device decode steps per host sync in batch mode")
+    p.add_argument("--decode-chunk", type=int, default=None,
+                   help="on-device decode steps per host sync (streaming and "
+                        "batch modes; default: 8 on TPU for streaming, 1 on "
+                        "CPU / batch)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the JAX backend (or env ZG2_PLATFORM). "
+                        "Plain JAX_PLATFORMS=cpu does not survive "
+                        "environments whose sitecustomize pre-registers an "
+                        "accelerator plugin; this sets jax.config before "
+                        "any device use")
     return p
 
 
@@ -77,6 +85,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.prompt is None and args.batch_file is None:
         sys.exit("error: missing prompt (usage: zig-gpt2-tpu \"<prompt>\")")
+
+    from zig_gpt2_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override(args.platform)
 
     import jax
     import jax.numpy as jnp
@@ -125,7 +137,13 @@ def main(argv=None) -> None:
 
         if str(args.weights).endswith(".npz"):
             # Pre-repacked (possibly quantized) checkpoint — tools/repack.py.
-            params, meta = zio.load_pytree_npz(args.weights, with_meta=True)
+            # Like the raw branch below: under a mesh stay host-side so
+            # prepare_params does the ONE placement with Megatron shardings
+            # (device_put=True here would spike device 0 with the whole
+            # model and transfer it twice).
+            params, meta = zio.load_pytree_npz(
+                args.weights, device_put=mesh is None, with_meta=True
+            )
             if meta and (meta.get("padded_heads") or meta.get("padded_vocab_size")):
                 # repack --tp baked the TP padding into the quantized
                 # layouts; reconstruct the padded config so prepare_params
@@ -196,7 +214,7 @@ def main(argv=None) -> None:
         batcher = ContinuousBatcher(
             config, params, batch_size=args.batch_slots,
             max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,
-            decode_chunk=args.decode_chunk, mesh=mesh,
+            decode_chunk=args.decode_chunk or 1, mesh=mesh,
         )
         rid_to_prompt = {
             batcher.submit(encoder.encode(p), args.max_tokens, stop_tokens): p
@@ -216,7 +234,7 @@ def main(argv=None) -> None:
 
     engine = InferenceEngine(
         config, params, encoder, max_seq=args.max_seq, kv_quant=kv_quant,
-        mesh=mesh,
+        mesh=mesh, decode_chunk=args.decode_chunk,
     )
     metrics = GenerationMetrics()
 

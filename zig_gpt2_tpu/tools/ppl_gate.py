@@ -46,6 +46,10 @@ def main(argv=None) -> int:
                    help="tiny random model + synthetic corpus (no weights)")
     args = p.parse_args(argv)
 
+    from zig_gpt2_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
     import jax
     import jax.numpy as jnp
 
