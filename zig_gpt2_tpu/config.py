@@ -58,6 +58,13 @@ class GPTConfig:
     # per step. Cache layout + dispatch both key off this flag, so it must
     # be set before init_kv_cache / jit.
     kv_packed: bool = False
+    # Set ONLY inside the step-level shard_map body (parallel/step_spmd):
+    # the mesh axis name over which the model code must insert its own
+    # collectives (psum after row-parallel projections, masked-lookup psum
+    # at the embedding, cross-shard argmax in the sampler). The body runs
+    # the single-device code paths (spmd=False, mesh=None) on per-shard
+    # shapes; this field is what tells them the shapes are shards.
+    manual_axis: Optional[str] = None
     # w8a8: dynamically quantize activations to INT8 per row so matmuls
     # against per-channel INT8 weights run as s8×s8 MXU ops — 2× the
     # float-operand weight-load rate, the true GEMV floor (quant/kernels).

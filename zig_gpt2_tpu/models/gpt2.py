@@ -145,6 +145,23 @@ Params = Dict[str, Any]
 KVCache = Dict[str, jax.Array]
 
 
+def _embed_tokens(wte: jax.Array, tokens: jax.Array, config: GPTConfig) -> jax.Array:
+    """Token-embedding gather. Inside the step-level shard_map body
+    (config.manual_axis set — parallel/step_spmd) ``wte`` is this shard's
+    contiguous vocab-row slice; global token ids are resolved by a masked
+    local lookup + one psum over the model axis (the Megatron vocab-parallel
+    embedding; O(B·E) wire — noise next to the weight stream)."""
+    if config.manual_axis is None:
+        return ops.embedding(tokens, wte)
+    ax = config.manual_axis
+    vl = wte.shape[0]
+    local = tokens - jax.lax.axis_index(ax) * vl
+    ok = (local >= 0) & (local < vl)
+    x = ops.embedding(jnp.clip(local, 0, vl - 1), wte)
+    x = jnp.where(ok[..., None], x, jnp.zeros((), x.dtype))
+    return jax.lax.psum(x, ax)
+
+
 # ---------------------------------------------------------------------------
 # Parameter initialization
 # ---------------------------------------------------------------------------
@@ -377,6 +394,64 @@ def _layer_slice(tree: Params, idx: jax.Array) -> Params:
     )
 
 
+def _row_linear_manual(
+    p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array, config: GPTConfig
+) -> jax.Array:
+    """Row-parallel stacked linear inside the step-level shard_map body
+    (config.manual_axis — parallel/step_spmd): the weight leaves are this
+    shard's contiguous K-slice, ``x`` is the matching feature shard (the
+    preceding column-parallel output feeds it directly, the standard
+    Megatron pairing — no communication on entry), and ONE psum over the
+    manual axis completes the contraction. The bias is replicated and must
+    be added AFTER the psum (inside, it would be summed tp times).
+
+    INT4 is the exception on entry: the half-split nibble packing pairs
+    feature k with k + K/2, so this shard's packed rows span two disjoint
+    feature ranges — x is all-gathered back to full K and the two ranges
+    sliced out (shard_kernels.int4_row_shard_slices; the (B, K) gather is
+    noise next to the weight stream it unblocks). Grouped INT4 scales ride
+    replicated for the same reason (see parallel/step_spmd.step_pspecs).
+    """
+    ax = config.manual_axis
+    lead, k_local = x.shape[:-1], x.shape[-1]
+    rows = x.size // k_local
+    x2 = x.reshape(rows, k_local)
+    if "qw" in p or "qw4" in p:
+        int4 = "qw4" in p
+        qw = p["qw4"] if int4 else p["qw"]
+        scale = p["scale"]
+        if int4:
+            xg = jax.lax.all_gather(x2, ax, axis=1, tiled=True)  # (rows, K)
+            tp = xg.shape[1] // k_local
+            from zig_gpt2_tpu.parallel.shard_kernels import int4_row_shard_slices
+
+            x2, scale = int4_row_shard_slices(xg, scale, tp, ax)
+        n = qw.shape[-1]
+        if jax.default_backend() == "tpu" and rows <= 64:
+            from zig_gpt2_tpu.quant import kernels
+
+            y = kernels.qmm(x2, qw, scale, int4=int4, layer=idx,
+                            w8a8=config.act_quant)
+        else:
+            from zig_gpt2_tpu.quant import quantize as q
+
+            pl = _layer_slice({"q": qw, "scale": scale}, idx)
+            qfull = q.unpack_int4(pl["q"]) if int4 else pl["q"]
+            if config.act_quant and not int4 and pl["scale"].shape[-2] == 1:
+                y = q.w8a8_matmul(x2, qfull, pl["scale"])
+            else:
+                y = q._grouped_matmul_jnp(x2, qfull, pl["scale"])
+    else:
+        w = jax.lax.dynamic_index_in_dim(p["w"], idx, 0, keepdims=False)
+        n = w.shape[-1]
+        y = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+    y = jax.lax.psum(y, ax)
+    y = y.astype(x.dtype).reshape(*lead, n)
+    if "b" in p:
+        y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
+    return y
+
+
 def _linear_at(
     p: Dict[str, jax.Array],
     x: jax.Array,
@@ -392,6 +467,8 @@ def _linear_at(
     ``role`` ("col" | "row") is the layer's Megatron parallelism class,
     used only by the shard_map path: column-parallel layers shard N (no
     collective), row-parallel layers shard K (one psum)."""
+    if config.manual_axis is not None and role == "row":
+        return _row_linear_manual(p, x, idx, config)
     quantized = "qw" in p or "qw4" in p
     rows = x.size // x.shape[-1]
     if quantized and rows <= 64:
@@ -582,9 +659,13 @@ def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
     else:
         logits = jnp.dot(x, params["wte"].T, preferred_element_type=x.dtype)
     if config.padded_vocab_size is not None:
-        vocab_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (1, config.vocab_rows), 1
-        ).reshape(config.vocab_rows)
+        # Mask phantom (padding) vocab rows. Inside the step-level shard_map
+        # body (config.manual_axis) the logits are this shard's contiguous
+        # vocab slice — offset local columns to global ids first.
+        vl = logits.shape[-1]
+        vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (1, vl), 1).reshape(vl)
+        if config.manual_axis is not None:
+            vocab_ids = vocab_ids + jax.lax.axis_index(config.manual_axis) * vl
         logits = jnp.where(
             vocab_ids < config.vocab_size, logits, jnp.asarray(ops.MASK_VALUE, logits.dtype)
         )
@@ -711,7 +792,9 @@ def decode_step(
     this with ``donate_argnums`` on the cache for in-place HBM updates.
     """
     pos = cache["length"]  # (B,) index of the incoming token
-    x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
+    x = _embed_tokens(params["wte"], tokens, config) + ops.embedding(
+        pos, params["wpe"]
+    )
     layer_caches = {name: c for name, c in cache.items() if name != "length"}
     blocks = params["blocks"]  # closure-invariant: scan never slices weights
 

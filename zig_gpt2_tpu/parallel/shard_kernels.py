@@ -46,6 +46,35 @@ _LEN = P(DATA_AXIS)                            # (B,) lengths / positions
 _SCALAR = P()                                  # traced layer index
 
 
+def int4_row_shard_slices(x, scale, tp, axis_name):
+    """Slice this shard's features out of FULL (replicated) activations +
+    grouped scales for a K-sharded packed-INT4 row-parallel matmul.
+
+    The half-split packing puts global rows [0, K/2) in the low nibbles and
+    [K/2, K) in the high nibbles, so shard i of the contiguously-sharded
+    packed rows covers TWO disjoint feature ranges: [i·K/2tp, (i+1)·K/2tp)
+    ∪ [K/2 + i·K/2tp, K/2 + (i+1)·K/2tp). A contiguous K-shard of x cannot
+    feed that — x (B, K) and the scales arrive replicated and this helper
+    slices the shard's two ranges by axis_index (scale groups stay intact:
+    pick_group_size guarantees G | K/(2·tp)). Per-channel scales (group
+    axis 1) span all of K and pass through untouched. Shared by the
+    op-level qmm_sharded body and the step-level manual path
+    (parallel/step_spmd → models.gpt2._row_linear_manual)."""
+    k = x.shape[1]
+    i = jax.lax.axis_index(axis_name)
+    kh = k // (2 * tp)  # features per nibble block per shard
+    lo = jax.lax.dynamic_slice_in_dim(x, i * kh, kh, axis=1)
+    hi = jax.lax.dynamic_slice_in_dim(x, k // 2 + i * kh, kh, axis=1)
+    x = jnp.concatenate([lo, hi], axis=1)
+    if scale.shape[-2] != 1:
+        g = scale.shape[-2]
+        gh = g // (2 * tp)  # scale groups per nibble block per shard
+        s_lo = jax.lax.dynamic_slice_in_dim(scale, i * gh, gh, axis=-2)
+        s_hi = jax.lax.dynamic_slice_in_dim(scale, g // 2 + i * gh, gh, axis=-2)
+        scale = jnp.concatenate([s_lo, s_hi], axis=-2)
+    return x, scale
+
+
 def _qmm_local(x, qw, scale, *, int4, layer, interpret, w8a8=False):
     from zig_gpt2_tpu.quant import kernels
 
@@ -108,19 +137,7 @@ def qmm_sharded(
     def body(x, qw, scale, *maybe_layer):
         lyr = maybe_layer[0] if maybe_layer else None
         if int4_row:
-            i = jax.lax.axis_index(MODEL_AXIS)
-            kh = k // (2 * tp)  # features per nibble block per shard
-            lo = jax.lax.dynamic_slice_in_dim(x, i * kh, kh, axis=1)
-            hi = jax.lax.dynamic_slice_in_dim(x, k // 2 + i * kh, kh, axis=1)
-            x = jnp.concatenate([lo, hi], axis=1)
-            if not per_channel:
-                g = scale.shape[-2]
-                gh = g // (2 * tp)  # scale groups per nibble block per shard
-                s_lo = jax.lax.dynamic_slice_in_dim(scale, i * gh, gh, axis=-2)
-                s_hi = jax.lax.dynamic_slice_in_dim(
-                    scale, g // 2 + i * gh, gh, axis=-2
-                )
-                scale = jnp.concatenate([s_lo, s_hi], axis=-2)
+            x, scale = int4_row_shard_slices(x, scale, tp, MODEL_AXIS)
         y = _qmm_local(x, qw, scale, int4=int4, layer=lyr,
                        interpret=interpret, w8a8=w8a8)
         if not col:

@@ -191,11 +191,17 @@ def w8a8_matmul(x: jax.Array, qw: jax.Array, scale: jax.Array) -> jax.Array:
 def _under_spmd() -> bool:
     """True when tracing under a non-trivial mesh — GSPMD can't partition
     the Pallas custom call, so the sharded path uses the jnp formulation
-    (per-shard Pallas via shard_map is the manual alternative)."""
+    (per-shard Pallas via shard_map is the manual alternative). A FULLY-
+    MANUAL mesh (inside a shard_map body, e.g. the step-level decode of
+    parallel/step_spmd) does NOT count: the body already sees per-shard
+    shapes and the custom call runs per device."""
     try:
         from jax.sharding import get_abstract_mesh
 
-        return bool(get_abstract_mesh().axis_names)
+        m = get_abstract_mesh()
+        if not m.axis_names:
+            return False
+        return not all(str(t) == "Manual" for t in m.axis_types)
     except Exception:
         return False
 

@@ -112,16 +112,24 @@ class ContinuousBatcher:
         mesh=None,
     ):
         if mesh is not None:
-            from zig_gpt2_tpu.parallel import mesh as pmesh
+            from zig_gpt2_tpu.parallel import mesh as pmesh, step_spmd
 
             if not config.spmd:
                 params, config = pmesh.prepare_params(params, config, mesh)
+            elif config.mesh is None:
+                # See InferenceEngine.__init__: pad_for_tp sets spmd but not
+                # mesh — without this the mesh-aware kernel paths disengage.
+                import dataclasses
+
+                config = dataclasses.replace(config, mesh=mesh)
             dp = mesh.shape[pmesh.DATA_AXIS]
             if batch_size % dp:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by data-parallel "
                     f"degree {dp} (mesh {dict(mesh.shape)})"
                 )
+            if step_spmd.enabled(config):
+                params = step_spmd.place_params(params, config)
         if not config.kv_packed and gpt2.default_kv_packed(config):
             # Head-pair-packed cache layout under the fused single-device
             # kernels (see config.kv_packed) — decided before any cache /
@@ -186,22 +194,30 @@ class ContinuousBatcher:
         self._prefill_inserts: Dict[int, Any] = {}
 
         chunk = self.decode_chunk
+        from zig_gpt2_tpu.parallel import step_spmd
 
-        def decode_sample(params, cache, tokens, key):
-            def body(carry, _):
-                cache, tok, key = carry
-                cache, logits = gpt2.decode_step(params, cache, tok, config)
-                key, sub = jax.random.split(key)
-                nxt = sample(logits, sub, sampling.temperature,
-                             sampling.top_k, sampling.top_p,
-                             use_kernel=not config.spmd,
-                             mesh=config.mesh if config.spmd else None)
-                return (cache, nxt, key), tok  # emit the token just consumed
-
-            (cache, nxt, key), consumed = jax.lax.scan(
-                body, (cache, tokens, key), None, length=chunk
+        if step_spmd.enabled(config):
+            # Whole chunk in ONE manual-SPMD region (see parallel/step_spmd).
+            decode_sample = step_spmd.make_chunk_fn(
+                config, params, kv_quant, chunk, sampling.temperature,
+                sampling.top_k, sampling.top_p, emit_consumed=True,
             )
-            return cache, consumed, nxt, key  # consumed: (chunk, B)
+        else:
+            def decode_sample(params, cache, tokens, key):
+                def body(carry, _):
+                    cache, tok, key = carry
+                    cache, logits = gpt2.decode_step(params, cache, tok, config)
+                    key, sub = jax.random.split(key)
+                    nxt = sample(logits, sub, sampling.temperature,
+                                 sampling.top_k, sampling.top_p,
+                                 use_kernel=not config.spmd,
+                                 mesh=config.mesh if config.spmd else None)
+                    return (cache, nxt, key), tok  # emit the consumed token
+
+                (cache, nxt, key), consumed = jax.lax.scan(
+                    body, (cache, tokens, key), None, length=chunk
+                )
+                return cache, consumed, nxt, key  # consumed: (chunk, B)
 
         self._decode = jax.jit(
             decode_sample, donate_argnums=(1, 2),

@@ -153,16 +153,29 @@ class InferenceEngine:
         the discarded steps (same scheme as ContinuousBatcher). Default: 8
         on TPU, 1 elsewhere (CPU tests keep per-token semantics)."""
         if mesh is not None:
-            from zig_gpt2_tpu.parallel import mesh as pmesh
+            from zig_gpt2_tpu.parallel import mesh as pmesh, step_spmd
 
             if not config.spmd:
                 params, config = pmesh.prepare_params(params, config, mesh)
+            elif config.mesh is None:
+                # Caller padded/placed the params itself (pad_for_tp sets
+                # spmd but not mesh) — the mesh must still land in the
+                # config or every mesh-aware kernel dispatch (op-level
+                # shard_map, step-level SPMD) silently disengages.
+                import dataclasses
+
+                config = dataclasses.replace(config, mesh=mesh)
             dp = mesh.shape[pmesh.DATA_AXIS]
             if batch_size % dp:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by data-parallel "
                     f"degree {dp} (mesh {dict(mesh.shape)})"
                 )
+            if step_spmd.enabled(config):
+                # Step-level decode needs a couple of leaves placed
+                # differently from the op-level Megatron layout (INT4
+                # row-parallel scales); no-op otherwise.
+                params = step_spmd.place_params(params, config)
         if not config.kv_packed and gpt2.default_kv_packed(config):
             # Serve with the head-pair-packed cache layout whenever the
             # fused single-device kernels are active (the D=64 half-lane
@@ -250,31 +263,74 @@ class InferenceEngine:
             cache = jax.tree.map(jax.device_put, cache, self._cache_fmt)
         return cache
 
-    def _sample_step(self, temperature: float, top_k: Optional[int],
-                     top_p: Optional[float]):
-        """Fused decode+sample step, jitted once per sampling config.
+    def _make_chunk(self, n: int, temperature: float, top_k: Optional[int],
+                    top_p: Optional[float]):
+        """The jitted n-step decode+sample chunk — the ONE steady-state
+        compute function behind every generation path: ``(params, cache,
+        token, key) -> (cache, toks (n, B), token, key)``, cache donated.
+
+        Under a mesh with the step-level SPMD path enabled
+        (parallel.step_spmd.enabled) the whole chunk body runs inside ONE
+        shard_map with manual Megatron collectives — single-device Pallas
+        kernels per shard, no per-op region fences. Otherwise the body is
+        the plain decode_step + sample scan (fused single-device kernels,
+        or GSPMD/op-level shard_map per the config).
 
         (Cached in a per-instance dict, not functools.lru_cache — a global
         lru_cache on an instance method pins the engine and its donated
         cache alive for the process lifetime.)"""
-        cache_key = (temperature, top_k, top_p)
+        cache_key = ("chunk", n, temperature, top_k, top_p)
         hit = self._step_cache.get(cache_key)
         if hit is not None:
             return hit
-        use_kernel = not self.config.spmd
-        mesh = self.config.mesh if self.config.spmd else None
+        from zig_gpt2_tpu.parallel import step_spmd
 
-        def step(params, cache, token, key):
-            cache, logits = gpt2.decode_step(params, cache, token, self.config)
-            key, sub = jax.random.split(key)
-            tok = sample(logits, sub, temperature, top_k, top_p,
-                         use_kernel=use_kernel, mesh=mesh)
-            return cache, tok, key
+        if step_spmd.enabled(self.config):
+            run = step_spmd.make_chunk_fn(
+                self.config, self.params, self.kv_quant, n,
+                temperature, top_k, top_p,
+            )
+        else:
+            use_kernel = not self.config.spmd
+            mesh = self.config.mesh if self.config.spmd else None
 
-        fn = jax.jit(step, donate_argnums=(1,),
-                     out_shardings=(self._cache_fmt, None, None))
+            def run(params, cache, token, key):
+                def body(carry, _):
+                    cache, token, key = carry
+                    cache, logits = gpt2.decode_step(params, cache, token,
+                                                     self.config)
+                    key, sub = jax.random.split(key)
+                    token = sample(logits, sub, temperature, top_k, top_p,
+                                   use_kernel=use_kernel, mesh=mesh)
+                    return (cache, token, key), token
+
+                (cache, token, key), toks = jax.lax.scan(
+                    body, (cache, token, key), None, length=n
+                )
+                return cache, toks, token, key
+
+        fn = jax.jit(run, donate_argnums=(1,),
+                     out_shardings=(self._cache_fmt, None, None, None))
         self._step_cache[cache_key] = fn
         return fn
+
+    def _sample_step(self, temperature: float, top_k: Optional[int],
+                     top_p: Optional[float]):
+        """Single decode+sample step ``(params, cache, token, key) ->
+        (cache, token, key)`` — the n=1 chunk with the (n, B) token trace
+        dropped."""
+        cache_key = ("step1", temperature, top_k, top_p)
+        hit = self._step_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        run = self._make_chunk(1, temperature, top_k, top_p)
+
+        def step(params, cache, token, key):
+            cache, _, token, key = run(params, cache, token, key)
+            return cache, token, key
+
+        self._step_cache[cache_key] = step
+        return step
 
     # -- streaming generation -------------------------------------------------
 
@@ -422,64 +478,11 @@ class InferenceEngine:
 
     def _chunk_runner(self, n: int, temperature: float, top_k: Optional[int],
                       top_p: Optional[float]):
-        """Jitted n-step decode+sample chunk: one dispatch emits (n, B)
-        tokens plus the carried state (see generate_iter's chunked path)."""
-        cache_key = ("chunk", n, temperature, top_k, top_p)
-        hit = self._step_cache.get(cache_key)
-        if hit is not None:
-            return hit
-        use_kernel = not self.config.spmd
-        mesh = self.config.mesh if self.config.spmd else None
-
-        def run(params, cache, token, key):
-            def body(carry, _):
-                cache, token, key = carry
-                cache, logits = gpt2.decode_step(params, cache, token,
-                                                 self.config)
-                key, sub = jax.random.split(key)
-                token = sample(logits, sub, temperature, top_k, top_p,
-                               use_kernel=use_kernel, mesh=mesh)
-                return (cache, token, key), token
-
-            (cache, token, key), toks = jax.lax.scan(
-                body, (cache, token, key), None, length=n
-            )
-            return cache, toks, token, key
-
-        fn = jax.jit(run, donate_argnums=(1,),
-                     out_shardings=(self._cache_fmt, None, None, None))
-        self._step_cache[cache_key] = fn
-        return fn
+        """n-step decode+sample chunk: one dispatch emits (n, B) tokens plus
+        the carried state (see generate_iter's chunked path)."""
+        return self._make_chunk(n, temperature, top_k, top_p)
 
     # -- fully-on-device generation (benchmark / batch path) ------------------
-
-    def _scan_generate(self, n_steps: int, temperature: float,
-                       top_k: Optional[int], top_p: Optional[float]):
-        cache_key = (n_steps, temperature, top_k, top_p)
-        hit = self._step_cache.get(cache_key)
-        if hit is not None:
-            return hit
-        use_kernel = not self.config.spmd
-        mesh = self.config.mesh if self.config.spmd else None
-
-        def run(params, cache, token, key):
-            def body(carry, _):
-                cache, token, key = carry
-                cache, logits = gpt2.decode_step(params, cache, token, self.config)
-                key, sub = jax.random.split(key)
-                token = sample(logits, sub, temperature, top_k, top_p,
-                               use_kernel=use_kernel, mesh=mesh)
-                return (cache, token, key), token
-
-            (cache, token, key), tokens = jax.lax.scan(
-                body, (cache, token, key), None, length=n_steps
-            )
-            return cache, tokens  # tokens: (n_steps, B)
-
-        fn = jax.jit(run, donate_argnums=(1,),
-                     out_shardings=(self._cache_fmt, None))
-        self._step_cache[cache_key] = fn
-        return fn
 
     def generate_scan(
         self,
@@ -505,7 +508,7 @@ class InferenceEngine:
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
                        sampling.top_p, use_kernel=not self.config.spmd,
                        mesh=self.config.mesh if self.config.spmd else None)
-        run = self._scan_generate(n_steps, sampling.temperature,
-                                  sampling.top_k, sampling.top_p)
-        _, tokens = run(self.params, cache, token, key)
-        return np.asarray(tokens).T
+        run = self._make_chunk(n_steps, sampling.temperature,
+                               sampling.top_k, sampling.top_p)
+        _, tokens, _, _ = run(self.params, cache, token, key)
+        return np.asarray(tokens).T  # tokens: (n_steps, B)

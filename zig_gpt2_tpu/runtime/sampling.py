@@ -19,11 +19,17 @@ import jax.numpy as jnp
 
 def _under_spmd() -> bool:
     """True when tracing under a non-trivial abstract mesh (GSPMD would have
-    to partition the Pallas custom call, which it cannot)."""
+    to partition the Pallas custom call, which it cannot). A FULLY-MANUAL
+    mesh (inside a shard_map body, e.g. the step-level decode of
+    parallel/step_spmd) is NOT spmd in this sense: the body already sees
+    per-shard shapes, and the custom call runs per device."""
     try:
         from jax.sharding import get_abstract_mesh
 
-        return bool(get_abstract_mesh().axis_names)
+        m = get_abstract_mesh()
+        if not m.axis_names:
+            return False
+        return not all(str(t) == "Manual" for t in m.axis_types)
     except Exception:
         return False
 
@@ -99,6 +105,78 @@ def sample(
     logits = _mask_logits(logits.astype(jnp.float32) / temperature,
                           top_k, top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_manual(
+    logits: jax.Array,
+    key: jax.Array,
+    temperature: float,
+    top_k: Optional[int],
+    top_p: Optional[float],
+    axis: str,
+) -> jax.Array:
+    """Vocab-sharded sampling INSIDE a shard_map body (the step-level decode
+    of parallel/step_spmd): ``logits`` is this shard's contiguous (B, V/tp)
+    vocab slice, ``key`` is replicated, and the result is the (B,) GLOBAL
+    token ids, identical on every shard.
+
+    Same scheme as parallel.shard_kernels.sample_sharded, relocated into the
+    manual body: each shard draws its own noise (decorrelated by axis_index)
+    and contributes its local argmax plus the winning perturbed value; the
+    cross-shard argmax of those winners IS the global Gumbel-max — exactly
+    categorical, no (B, V) gather of noise. On TPU the per-shard draw is the
+    fused Pallas kernel (native PRNG — same stream as sample_sharded for
+    dp=1); elsewhere jax.random Gumbel noise per shard. Greedy (T=0) is a
+    plain two-level argmax. top-k/top-p derive the per-row threshold from an
+    all-gather of the raw logits (O(B·V) — once per step, and only when
+    those knobs are on)."""
+    vl = logits.shape[-1]
+    w = jax.lax.axis_index(axis)
+    if temperature == 0.0:
+        z_l = jnp.max(logits, axis=-1)
+        idx_l = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        thresh = None
+        if (top_k is not None and top_k < vl) or (
+            top_p is not None and top_p < 1.0
+        ):
+            # The support cutoff needs the global row (see sample()): gather
+            # raw logits, reuse the same masking code, keep the smallest
+            # kept RAW logit as the threshold.
+            raw = jax.lax.all_gather(
+                logits, axis, axis=logits.ndim - 1, tiled=True
+            ).astype(jnp.float32)
+            scaled = _mask_logits(raw / temperature, top_k, top_p)
+            thresh = jnp.min(
+                jnp.where(jnp.isneginf(scaled), jnp.inf, raw), axis=-1
+            )
+        if jax.default_backend() == "tpu":
+            from zig_gpt2_tpu.ops.sampling_kernel import sample_categorical
+
+            seeds = jax.random.randint(
+                key, (logits.shape[0],), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+            seeds = seeds ^ ((w + 1) * jnp.int32(-1640531527))
+            idx_l, z_l = sample_categorical(
+                logits, seeds, temperature, thresh, return_max=True
+            )
+        else:
+            scaled = logits.astype(jnp.float32) / temperature
+            if thresh is not None:
+                scaled = jnp.where(
+                    logits.astype(jnp.float32) < thresh[:, None],
+                    -jnp.inf, scaled,
+                )
+            z = scaled + jax.random.gumbel(
+                jax.random.fold_in(key, w), scaled.shape, jnp.float32
+            )
+            z_l = jnp.max(z, axis=-1)
+            idx_l = jnp.argmax(z, axis=-1).astype(jnp.int32)
+    z_all = jax.lax.all_gather(z_l, axis)      # (tp, B)
+    idx_all = jax.lax.all_gather(idx_l, axis)  # (tp, B)
+    win = jnp.argmax(z_all, axis=0)            # (B,)
+    local = jnp.take_along_axis(idx_all, win[None, :], axis=0)[0]
+    return (win * vl + local).astype(jnp.int32)
 
 
 def _mask_logits(
