@@ -159,6 +159,69 @@ def test_sampled_reproducible_and_chunked(params, step_spmd_on):
     assert chunked.generate([5, 5], 9, SamplingConfig(temperature=0.0)) == want
 
 
+PACK_CFG = GPTConfig(vocab_size=512, context_size=128, n_layers=2,
+                     n_heads=4, n_embed=256)  # head_dim 64 -> packable
+
+
+def _mesh2():
+    from zig_gpt2_tpu.parallel import mesh as pmesh
+
+    return pmesh.make_mesh(1, 2, devices=jax.devices()[:2])
+
+
+def test_greedy_parity_packed_mesh(step_spmd_on, monkeypatch):
+    """Head-pair-packed KV cache under the step-level mesh (D=64, even
+    per-shard head count): the packed fused kernels run per shard in
+    interpret mode inside the manual body, token-identical to the meshless
+    packed engine."""
+    monkeypatch.setenv("ZG2_FUSED_ATTN", "interpret")
+    p = gpt2.init_params(PACK_CFG, jax.random.PRNGKey(3))
+    base = InferenceEngine(PACK_CFG, p, max_seq=32, prompt_buckets=(8,))
+    assert base.config.kv_packed
+    want = base.generate([7, 3, 5], 8, SamplingConfig(temperature=0.0))
+
+    eng = InferenceEngine(PACK_CFG, p, max_seq=32, prompt_buckets=(8,),
+                          mesh=_mesh2())
+    assert eng.config.kv_packed  # H/tp = 2 even -> packed stays on
+    got = eng.generate([7, 3, 5], 8, SamplingConfig(temperature=0.0))
+    assert got == want
+
+
+def test_greedy_parity_packed_mesh_kv8(step_spmd_on, monkeypatch):
+    """Packed + INT8 KV cache under the mesh: the (L, B, 2, H/2, S) scale
+    planes shard the pair axis (cache_pspecs packed spec)."""
+    monkeypatch.setenv("ZG2_FUSED_ATTN", "interpret")
+    p = gpt2.init_params(PACK_CFG, jax.random.PRNGKey(4))
+    base = InferenceEngine(PACK_CFG, p, max_seq=32, prompt_buckets=(8,),
+                           kv_quant="int8")
+    assert base.config.kv_packed
+    want = base.generate([2, 9, 4], 8, SamplingConfig(temperature=0.0))
+
+    eng = InferenceEngine(PACK_CFG, p, max_seq=32, prompt_buckets=(8,),
+                          kv_quant="int8", mesh=_mesh2())
+    assert eng.config.kv_packed
+    got = eng.generate([2, 9, 4], 8, SamplingConfig(temperature=0.0))
+    assert got == want
+
+
+def test_packed_disabled_for_odd_local_heads(step_spmd_on, monkeypatch):
+    """H/tp odd (4 heads over tp=4) -> pairs would straddle shards; the
+    engine must fall back to the unpacked layout and still be correct."""
+    monkeypatch.setenv("ZG2_FUSED_ATTN", "interpret")
+    from zig_gpt2_tpu.parallel import mesh as pmesh
+
+    p = gpt2.init_params(PACK_CFG, jax.random.PRNGKey(5))
+    base = InferenceEngine(PACK_CFG, p, max_seq=32, prompt_buckets=(8,))
+    want = base.generate([1, 2, 3], 6, SamplingConfig(temperature=0.0))
+
+    mesh = pmesh.make_mesh(1, 4, devices=jax.devices()[:4])
+    eng = InferenceEngine(PACK_CFG, p, max_seq=32, prompt_buckets=(8,),
+                          mesh=mesh)
+    assert not eng.config.kv_packed
+    got = eng.generate([1, 2, 3], 6, SamplingConfig(temperature=0.0))
+    assert got == want
+
+
 def test_batcher_step_spmd_parity(params, step_spmd_on):
     """ContinuousBatcher's chunked decode through the step-level region
     (emit_consumed convention) on a 2×4 mesh matches the meshless batcher."""

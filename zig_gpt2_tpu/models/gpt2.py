@@ -56,14 +56,31 @@ def _fused_interpret() -> bool:
 
 def default_kv_packed(config: GPTConfig) -> bool:
     """Whether the runtime should serve with the head-pair-packed KV cache
-    (config.kv_packed): exactly when the fused single-device kernels are
-    active and head_dim is the GPT-2 64 (two heads fill one 128-lane
-    register row). The layout halves the decode-attention kernel's VPU
-    work; see ops/attention._build_kernel_packed. ZG2_KV_PACKED=0
-    disables (A/B benching)."""
+    (config.kv_packed): exactly when the fused kernels are active and
+    head_dim is the GPT-2 64 (two heads fill one 128-lane register row).
+    The layout halves the decode-attention kernel's VPU work; see
+    ops/attention._build_kernel_packed. ZG2_KV_PACKED=0 disables (A/B).
+
+    Under a mesh the layout works iff decode runs the step-level manual
+    path (parallel/step_spmd — the per-shard body then dispatches the
+    same packed kernels) AND the per-shard head count is even: pairs are
+    formed inside a shard, never across the model-axis boundary. (The
+    op-level shard_kernels specs are unpacked-only.)"""
     if os.environ.get("ZG2_KV_PACKED", "1") == "0":
         return False
-    return _use_fused_attention(config) and config.head_dim == 64
+    if config.head_dim != 64:
+        return False
+    if config.spmd:
+        from zig_gpt2_tpu.parallel import step_spmd
+        from zig_gpt2_tpu.parallel.mesh import MODEL_AXIS
+
+        if not step_spmd.enabled(config):
+            return False
+        tp = config.mesh.shape[MODEL_AXIS]
+        if (config.attn_heads // tp) % 2:
+            return False
+        return _use_fused_attention(step_spmd.local_config(config))
+    return _use_fused_attention(config)
 
 
 def _packed_heads(config: GPTConfig) -> tuple[int, int]:

@@ -122,12 +122,22 @@ def cache_pspecs(
     """KV cache (L, B, H, S, D): batch on data, heads on model. With
     quant="int8" the per-(token, head) scale planes (L, B, H, S) shard the
     same way. ``data_sharded=False`` replicates the batch axis — used for
-    the batcher's single-slot admission caches (B=1 cannot shard dp>1)."""
+    the batcher's single-slot admission caches (B=1 cannot shard dp>1).
+
+    Head-pair-PACKED caches (config.kv_packed, (L, B, H/2, S, 2D)) shard
+    the pair axis on model — each shard owns whole local pairs, which is
+    why the packed layout under a mesh requires an EVEN per-shard head
+    count (models.gpt2.default_kv_packed gates on it). The packed INT8
+    scale planes (L, B, 2, H/2, S) carry the even/odd half axis BEFORE the
+    pair axis, hence the different spec."""
     data = DATA_AXIS if data_sharded else None
     kv = P(None, data, MODEL_AXIS, None, None)
     specs = {"k": kv, "v": kv, "length": P(data)}
     if quant == "int8":
-        scale = P(None, data, MODEL_AXIS, None)
+        if config.kv_packed:
+            scale = P(None, data, None, MODEL_AXIS, None)
+        else:
+            scale = P(None, data, MODEL_AXIS, None)
         specs["k_scale"] = scale
         specs["v_scale"] = scale
     return specs

@@ -82,13 +82,15 @@ def local_config(config: GPTConfig) -> GPTConfig:
             f"attn_heads {config.attn_heads} not divisible by tp {tp} — "
             "run parallel.mesh.prepare_params (pad_for_tp) first"
         )
+    # kv_packed carries through: the per-shard body runs the packed fused
+    # kernels over this shard's (L, B/dp, Hl/2, S, 2D) cache slice (pairs
+    # never straddle shards — default_kv_packed requires Hl even).
     return dataclasses.replace(
         config,
         spmd=False,
         mesh=None,
         manual_axis=MODEL_AXIS,
         padded_heads=config.attn_heads // tp,
-        kv_packed=False,
         seq_parallel=False,
     )
 
