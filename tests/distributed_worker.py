@@ -69,9 +69,28 @@ def main() -> None:
     tokens = engine.generate([1, 2, 3, 4], max_new_tokens=6,
                              sampling=SamplingConfig(temperature=0.0))
 
+    # 3. The step-level manual-SPMD decode over the SAME 2-process mesh:
+    # the shard_map body's hand-placed collectives (embedding psum,
+    # row-parallel psums, sampler argmax all-gather) now cross the process
+    # boundary. Must be token-identical to the GSPMD engine above.
+    os.environ["ZG2_STEP_SPMD"] = "1"
+    try:
+        step_engine = InferenceEngine(
+            GPT2_NANO, params, batch_size=1, max_seq=32, prompt_buckets=(8,),
+            mesh=mesh,
+        )
+        step_tokens = step_engine.generate(
+            [1, 2, 3, 4], max_new_tokens=6,
+            sampling=SamplingConfig(temperature=0.0),
+        )
+    finally:
+        del os.environ["ZG2_STEP_SPMD"]
+    assert step_tokens == tokens, (step_tokens, tokens)
+
     if process_id == 0:
         with open(outfile, "w") as f:
-            json.dump({"psum": psum_val, "tokens": tokens}, f)
+            json.dump({"psum": psum_val, "tokens": tokens,
+                       "step_tokens": step_tokens}, f)
     print(f"proc {process_id}: OK tokens={tokens}", flush=True)
 
 
