@@ -27,10 +27,16 @@ def main() -> None:
     p.add_argument("--kv-quant", default=None, choices=["int8"])
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--mode", default="decode",
-                   choices=["decode", "prefill", "serve"],
+                   choices=["decode", "prefill", "serve", "stream"],
                    help="decode: KV-cached token loop (default); prefill: "
                         "whole-prompt throughput; serve: continuous-batching "
-                        "scheduler with mixed-length requests")
+                        "scheduler with mixed-length requests; stream: "
+                        "host-visible streaming via generate_iter (the CLI "
+                        "path — measures the per-chunk host sync cost; "
+                        "--stream-chunk to vary it)")
+    p.add_argument("--stream-chunk", type=int, default=None,
+                   help="decode_chunk for --mode stream (default: engine "
+                        "default — 8 on TPU, 1 elsewhere)")
     p.add_argument("--requests", type=int, default=64,
                    help="request count for --mode serve")
     p.add_argument("--decode-chunk", type=int, default=8,
@@ -100,6 +106,7 @@ def main() -> None:
         prompt_buckets=(args.prompt_len,),
         kv_quant=args.kv_quant,
         mesh=mesh,
+        decode_chunk=args.stream_chunk,
     )
     sampling = SamplingConfig(temperature=0.8, seed=0)
     rng = np.random.default_rng(0)
@@ -147,6 +154,40 @@ def main() -> None:
             "unit": "tokens/sec",
             "vs_baseline": round(best / (1000.0 / 28.0), 2),
             "slot_utilization": round(metrics.slot_utilization(args.batch), 3),
+        }))
+        return
+
+    if args.mode == "stream":
+        # Host-visible streaming: every token crosses the host boundary
+        # (the CLI/interactive path). On a tunneled chip each sync costs
+        # ~35 ms, so this is dominated by decode_chunk — the VERDICT
+        # round-2 chunked-streaming measurement.
+        if args.batch != 1:
+            raise SystemExit("--mode stream is single-sequence (--batch 1)")
+        from zig_gpt2_tpu.runtime.engine import GenerationMetrics
+
+        ids = list(prompts[0])
+
+        def run_stream():
+            m = GenerationMetrics()
+            out = list(engine.generate_iter(ids, args.steps, sampling,
+                                            metrics=m))
+            assert len(out) == args.steps
+            return m
+
+        run_stream()  # warmup/compile
+        best = 0.0
+        for _ in range(args.repeats):
+            m = run_stream()
+            best = max(best, m.tokens_per_sec)
+        print(json.dumps({
+            "metric": f"gpt2_{args.model}_{args.dtype}"
+            + (f"_{args.quant}" if args.quant else "")
+            + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+            + f"_stream_chunk{engine.decode_chunk}_tokens_per_sec",
+            "value": round(best, 2),
+            "unit": "tokens/sec",
+            "vs_baseline": round(best / (1000.0 / 28.0), 2),
         }))
         return
 

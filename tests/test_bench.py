@@ -59,3 +59,10 @@ def test_serve_mode(capsys):
                   "--requests", "3", "--decode-chunk", "2", "--repeats", "1")
     assert m["value"] > 0 and "serve" in m["metric"]
     assert 0 < m["slot_utilization"] <= 1
+
+
+def test_stream_mode(capsys):
+    m = run_bench(capsys, "--model", "nano", "--mode", "stream",
+                  "--prompt-len", "8", "--steps", "6", "--repeats", "1",
+                  "--stream-chunk", "3")
+    assert m["value"] > 0 and "stream_chunk3" in m["metric"]
