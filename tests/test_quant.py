@@ -292,3 +292,52 @@ class TestW8A8:
         cache, logits = gpt2.decode_step(
             params, cache, jnp.asarray([1, 2], jnp.int32), cfg)
         assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+class TestWmm:
+    """Float-weight stacked GEMV kernel (quant/kernels.wmm): the bf16
+    decode-GEMV MXU path replacing XLA's VPU multiply-reduce fusions."""
+
+    @pytest.mark.parametrize("n", [256, 150])  # 150: N % block_n != 0
+    def test_kernel_interpret_matches_dot(self, rng, n):
+        w = jnp.asarray(rng.standard_normal((128, n), dtype=np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 128), dtype=np.float32))
+        got = kernels.wmm(x, w, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_stacked_layer_select(self, rng):
+        """Stacked (L, K, N) weights with the layer chosen via scalar
+        prefetch must match slicing the layer first."""
+        ws = jnp.asarray(rng.standard_normal((3, 64, 256), dtype=np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 64), dtype=np.float32))
+        for l in range(3):
+            got = kernels.wmm(x, ws, layer=jnp.int32(l), block_n=128,
+                              interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(x @ ws[l]), rtol=2e-5, atol=2e-5
+            )
+
+    def test_model_decode_wmm_matches_jnp(self, rng):
+        """ZG2_WMM=interpret routes the float decode linears through the
+        kernel — greedy decode must match the jnp path exactly (f32)."""
+        import os
+
+        from zig_gpt2_tpu.config import GPT2_NANO
+        from zig_gpt2_tpu.models import gpt2
+
+        params = gpt2.init_params(GPT2_NANO, jax.random.PRNGKey(2))
+        tok = jnp.asarray([3], jnp.int32)
+
+        def one_step():
+            cache = gpt2.init_kv_cache(GPT2_NANO, 1, 16)
+            cache["length"] = jnp.asarray([2], jnp.int32)
+            return gpt2.decode_step(params, cache, tok, GPT2_NANO)[1]
+
+        want = np.asarray(one_step())
+        os.environ["ZG2_WMM"] = "interpret"
+        try:
+            got = np.asarray(one_step())
+        finally:
+            del os.environ["ZG2_WMM"]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -112,6 +112,24 @@ def _spmd_interpret() -> bool:
     return os.environ.get("ZG2_SPMD_KERNELS") == "interpret"
 
 
+def _use_wmm(config: GPTConfig) -> bool:
+    """Float-weight decode GEMVs through the stacked Pallas kernel
+    (quant/kernels.wmm) — on TPU single-device and inside the step-level
+    manual body. ZG2_WMM=0 disables (A/B), =interpret forces on CPU."""
+    if config.spmd:
+        return False
+    opt = os.environ.get("ZG2_WMM", "1")
+    if opt == "0":
+        return False
+    if opt == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _wmm_interpret() -> bool:
+    return os.environ.get("ZG2_WMM") == "interpret"
+
+
 def _decode_attention(q, caches, idx, length, config):
     """Decode attention over the stacked (L, B, H, S, D) cache at layer idx.
     ``q`` and the result are in the cache's layout (packed when
@@ -459,9 +477,15 @@ def _row_linear_manual(
             else:
                 y = q._grouped_matmul_jnp(x2, qfull, pl["scale"])
     else:
-        w = jax.lax.dynamic_index_in_dim(p["w"], idx, 0, keepdims=False)
-        n = w.shape[-1]
-        y = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+        n = p["w"].shape[-1]
+        if rows <= 64 and _use_wmm(config):
+            from zig_gpt2_tpu.quant import kernels
+
+            y = kernels.wmm(x2, p["w"], layer=idx,
+                            interpret=_wmm_interpret())
+        else:
+            w = jax.lax.dynamic_index_in_dim(p["w"], idx, 0, keepdims=False)
+            y = jnp.dot(x2, w, preferred_element_type=jnp.float32)
     y = jax.lax.psum(y, ax)
     y = y.astype(x.dtype).reshape(*lead, n)
     if "b" in p:
@@ -514,6 +538,18 @@ def _linear_at(
             if "b" in p:
                 y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
             return y
+    if not quantized and rows <= 64 and _use_wmm(config):
+        # Float decode GEMV through the stacked Pallas kernel: XLA lowers
+        # these to VPU multiply-reduce fusions at ~400 GB/s; the MXU
+        # weight-load path is HBM-bound instead (quant/kernels.wmm).
+        from zig_gpt2_tpu.quant import kernels
+
+        x2 = x.reshape(rows, x.shape[-1])
+        y = kernels.wmm(x2, p["w"], layer=idx, interpret=_wmm_interpret())
+        y = y.astype(x.dtype).reshape(*x.shape[:-1], p["w"].shape[-1])
+        if "b" in p:
+            y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
+        return y
     return _linear(_layer_slice(p, idx), x, config.spmd, config.act_quant)
 
 

@@ -137,6 +137,100 @@ def _qmm_kernel(x_ref, qw_ref, scale_ref, out_ref, *, n_groups, group, int4,
     out_ref[:] = acc * sc[0][None, :] if per_channel else acc
 
 
+def _wmm_kernel(x_ref, w_ref, out_ref):
+    w = w_ref[:]
+    if w.ndim == 3:  # stacked mode: (1, K, TN) block — squeeze the layer dim
+        w = w[0]
+    out_ref[:] = jnp.dot(x_ref[:], w.astype(x_ref.dtype),
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def wmm(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    block_n: int = 0,
+    interpret: bool = False,
+    layer=None,
+) -> jax.Array:
+    """y[B, N] = x[B, K] @ w[K, N] in float32 — the FLOAT-weight decode GEMV.
+
+    Same streaming design as qmm (one (K, TILE_N) weight tile per program,
+    double-buffered DMA, one MXU dot), without the dequant. Exists because
+    XLA lowers small-batch bf16 GEMVs to VPU multiply-reduce loop fusions
+    that stream weights at ~390-455 GB/s (hlo_stats, 124M bf16 B=1 — the
+    per-block linears), while the MXU weight-load path runs at ~480 Gelem/s
+    (960 GB/s for bf16), making the kernel HBM-bound at ~750 GB/s like the
+    lm_head fusion XLA already gets right. Stacked mode (``layer`` given,
+    w (L, K, N)) selects the layer inside the index maps via scalar
+    prefetch — no per-layer slice materialization, exactly as qmm."""
+    b, k = x.shape
+    n = w.shape[-1]
+    if not block_n:
+        # Widest tile whose double-buffered bf16 block fits ~8 MB.
+        itemsize = jnp.dtype(w.dtype).itemsize
+        block_n = 128
+        for bn in (2048, 1024, 512, 256, 128):
+            if 2 * k * bn * itemsize <= 8 * 1024 * 1024:
+                block_n = bn
+                break
+    block_n = min(block_n, n)
+    flops = 2 * b * k * n
+    bytes_accessed = (
+        w.size // (w.shape[0] if layer is not None else 1) * w.dtype.itemsize
+        + x.size * x.dtype.itemsize + b * n * 4
+    )
+    cost = pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                           transcendentals=0)
+    out_shape = jax.ShapeDtypeStruct((b, n), jnp.float32)
+
+    if layer is None:
+        return pl.pallas_call(
+            _wmm_kernel,
+            grid=(pl.cdiv(n, block_n),),
+            in_specs=[
+                pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, block_n), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (b, block_n), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x, w)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(n, block_n),),
+        in_specs=[
+            pl.BlockSpec((b, k), lambda i, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, k, block_n), lambda i, idx: (idx[0], 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, block_n), lambda i, idx: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def stacked_kernel(idx_ref, x_ref, w_ref, out_ref):
+        del idx_ref  # consumed by the index maps (scalar prefetch)
+        _wmm_kernel(x_ref, w_ref, out_ref)
+
+    return pl.pallas_call(
+        stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, w)
+
+
 @functools.partial(jax.jit, static_argnames=("int4", "block_n", "interpret", "w8a8"))
 def qmm(
     x: jax.Array,
