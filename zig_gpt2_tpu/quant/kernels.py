@@ -168,13 +168,14 @@ def wmm(
     b, k = x.shape
     n = w.shape[-1]
     if not block_n:
-        # Widest tile whose double-buffered bf16 block fits ~8 MB.
+        # Widest tile whose double-buffered block fits ~8 MB, preferring a
+        # width that divides N: edge blocks cost MXU weight-load cycles on
+        # the masked columns even though their HBM reads are bounded.
         itemsize = jnp.dtype(w.dtype).itemsize
-        block_n = 128
-        for bn in (2048, 1024, 512, 256, 128):
-            if 2 * k * bn * itemsize <= 8 * 1024 * 1024:
-                block_n = bn
-                break
+        fits = [bn for bn in (2048, 1024, 512, 256, 128)
+                if 2 * k * bn * itemsize <= 8 * 1024 * 1024]
+        block_n = next((bn for bn in fits if n % bn == 0),
+                       fits[0] if fits else 128)
     block_n = min(block_n, n)
     flops = 2 * b * k * n
     bytes_accessed = (
