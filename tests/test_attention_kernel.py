@@ -165,10 +165,10 @@ def test_multi_chunk_online_softmax(rng, monkeypatch):
 def test_batch_fold_multi_chunk(rng, monkeypatch):
     """bc > 1 (several sequences per grid cell) combined with S-chunking:
     per-sequence lengths must mask independently inside the folded cell.
-    Folding is pinned off in production (_FOLD_CANDIDATES); this keeps the
+    Folding is capped at bc=2 in production (ZG2_ATTN_FOLD_MAX); this keeps the
     machinery correct for a future pre-merged plane layout."""
     monkeypatch.setattr(fused, "_BLOCK_BUDGET", 1024 * 1024)
-    monkeypatch.setattr(fused, "_FOLD_CANDIDATES", (8, 4, 2, 1))
+    monkeypatch.setenv("ZG2_ATTN_FOLD_MAX", "8")
     B, H, S, D = 4, 2, 300, 64
     q, k, v = _mk(rng, B, H, S, D)
     length = jnp.asarray([1, 37, 300, 129], jnp.int32)
@@ -179,7 +179,7 @@ def test_batch_fold_multi_chunk(rng, monkeypatch):
 
 def test_batch_fold_deferred_quant(rng, monkeypatch):
     """bc > 1 on the deferred INT8 path (the serving configuration)."""
-    monkeypatch.setattr(fused, "_FOLD_CANDIDATES", (8, 4, 2, 1))
+    monkeypatch.setenv("ZG2_ATTN_FOLD_MAX", "8")
     B, H, S, D = 4, 3, 32, 64
     q, kf, vf = _mk(rng, B, H, S, D)
     kq, ks = ops.quantize_kv(kf)

@@ -216,7 +216,7 @@ def test_packed_multi_chunk(rng, monkeypatch):
 
 def test_packed_batch_fold_deferred_quant(rng, monkeypatch):
     """bc > 1 (sub-batch loop) through the packed deferred INT8 path."""
-    monkeypatch.setattr(A, "_FOLD_CANDIDATES", (8, 4, 2, 1))
+    monkeypatch.setenv("ZG2_ATTN_FOLD_MAX", "8")
     B, H, S, D = 4, 4, 32, 64
     q, kf, vf = _mk(rng, B, H, S, D)
     kq, ks = ops.quantize_kv(kf)

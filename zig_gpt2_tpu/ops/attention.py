@@ -83,8 +83,11 @@ _BLOCK_BUDGET = 8 * 1024 * 1024
 # config): Mosaic keeps each sub-batch's f32 temporaries live across the
 # unrolled loop, so larger folds risk scoped-VMEM OOM on shapes the TPU
 # tests didn't cover — raise via ZG2_ATTN_FOLD_MAX after measuring.
-_FOLD_MAX = int(os.environ.get("ZG2_ATTN_FOLD_MAX", "2"))
-_FOLD_CANDIDATES = tuple(c for c in (8, 4, 2, 1) if c <= _FOLD_MAX)
+def _fold_candidates() -> tuple:
+    """Read at dispatch time (like every other ZG2_* knob) so a test or
+    A/B harness can raise the cap after import."""
+    fold_max = int(os.environ.get("ZG2_ATTN_FOLD_MAX", "2"))
+    return tuple(c for c in (8, 4, 2, 1) if c <= fold_max)
 
 
 def _inner_rows(bc, h) -> int:
@@ -119,7 +122,7 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
     if quant and s_pad != s:
         s_pad = -(-s // _INNER) * _INNER
     best = None  # (cells, n_chunks, -bc) lexicographic
-    for bc in _FOLD_CANDIDATES if foldable else (1,):
+    for bc in _fold_candidates() if foldable else (1,):
         if b % bc:
             continue
         per_row = bc * h * 128 * itemsize * 2 * 2  # K+V, double-buffered

@@ -167,6 +167,44 @@ def shard_params(params, mesh: Mesh, config: GPTConfig):
     return jax.device_put(params, param_shardings(mesh, config, params))
 
 
+def prepare_serving(params, config: GPTConfig, mesh: Optional[Mesh],
+                    batch_size: int):
+    """Shared InferenceEngine/ContinuousBatcher constructor policy (one
+    place so engine and batcher can never drift): land the mesh in the
+    config — padding/placing the params if the caller hasn't (pad_for_tp
+    sets spmd but not mesh; without the mesh every mesh-aware kernel
+    dispatch silently disengages) — validate the data-parallel batch
+    split, re-place the step-level-path leaves, and decide the packed
+    KV-cache layout. Returns ``(params, config)``."""
+    import dataclasses
+
+    from zig_gpt2_tpu.models import gpt2 as _gpt2
+    from zig_gpt2_tpu.parallel import step_spmd
+
+    if mesh is not None:
+        if not config.spmd:
+            params, config = prepare_params(params, config, mesh)
+        elif config.mesh is None:
+            config = dataclasses.replace(config, mesh=mesh)
+        dp = mesh.shape[DATA_AXIS]
+        if batch_size % dp:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data-parallel "
+                f"degree {dp} (mesh {dict(mesh.shape)})"
+            )
+        if step_spmd.enabled(config):
+            # Step-level decode wants a couple of leaves placed differently
+            # from the op-level Megatron layout (INT4 row-parallel scales);
+            # no-op otherwise.
+            params = step_spmd.place_params(params, config)
+    if not config.kv_packed and _gpt2.default_kv_packed(config):
+        # Head-pair-packed cache layout whenever the fused kernels are
+        # active (the D=64 half-lane fix — see config.kv_packed). Must be
+        # decided here, before any cache template / jit construction.
+        config = dataclasses.replace(config, kv_packed=True)
+    return params, config
+
+
 def prepare_params(params, config: GPTConfig, mesh: Mesh):
     """Make a param pytree servable on ``mesh``: pad head/vocab axes for the
     TP degree (setting ``config.spmd``) and place every leaf with its

@@ -152,6 +152,8 @@ def make_chunk_fn(
     pp = step_param_pspecs(config, params)
     cp = cache_pspecs(config, quant=kv_quant, data_sharded=True)
     tok_spec = P(DATA_AXIS)
+    tp = mesh.shape[MODEL_AXIS]
+    dp = mesh.shape[DATA_AXIS]
 
     def body(params, cache, token, key):
         def step1(carry, _):
@@ -159,7 +161,8 @@ def make_chunk_fn(
             cache, logits = gpt2.decode_step(params, cache, token, lconf)
             key, sub = jax.random.split(key)
             nxt = sample_manual(
-                logits, sub, temperature, top_k, top_p, MODEL_AXIS
+                logits, sub, temperature, top_k, top_p, MODEL_AXIS,
+                tp=tp, data_axis=DATA_AXIS, dp=dp,
             )
             return (cache, nxt, key), (token if emit_consumed else nxt)
 

@@ -196,12 +196,12 @@ def _under_spmd() -> bool:
     parallel/step_spmd) does NOT count: the body already sees per-shard
     shapes and the custom call runs per device."""
     try:
-        from jax.sharding import get_abstract_mesh
+        from jax.sharding import AxisType, get_abstract_mesh
 
         m = get_abstract_mesh()
         if not m.axis_names:
             return False
-        return not all(str(t) == "Manual" for t in m.axis_types)
+        return not all(t == AxisType.Manual for t in m.axis_types)
     except Exception:
         return False
 

@@ -111,32 +111,9 @@ class ContinuousBatcher:
         decode_chunk: int = 1,
         mesh=None,
     ):
-        if mesh is not None:
-            from zig_gpt2_tpu.parallel import mesh as pmesh, step_spmd
+        from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
-            if not config.spmd:
-                params, config = pmesh.prepare_params(params, config, mesh)
-            elif config.mesh is None:
-                # See InferenceEngine.__init__: pad_for_tp sets spmd but not
-                # mesh — without this the mesh-aware kernel paths disengage.
-                import dataclasses
-
-                config = dataclasses.replace(config, mesh=mesh)
-            dp = mesh.shape[pmesh.DATA_AXIS]
-            if batch_size % dp:
-                raise ValueError(
-                    f"batch_size {batch_size} not divisible by data-parallel "
-                    f"degree {dp} (mesh {dict(mesh.shape)})"
-                )
-            if step_spmd.enabled(config):
-                params = step_spmd.place_params(params, config)
-        if not config.kv_packed and gpt2.default_kv_packed(config):
-            # Head-pair-packed cache layout under the fused single-device
-            # kernels (see config.kv_packed) — decided before any cache /
-            # jit construction below.
-            import dataclasses
-
-            config = dataclasses.replace(config, kv_packed=True)
+        params, config = prepare_serving(params, config, mesh, batch_size)
         self.mesh = mesh
         self.config = config
         self.params = params

@@ -152,38 +152,9 @@ class InferenceEngine:
         unchanged; the cache carries decode_chunk-1 rows of headroom for
         the discarded steps (same scheme as ContinuousBatcher). Default: 8
         on TPU, 1 elsewhere (CPU tests keep per-token semantics)."""
-        if mesh is not None:
-            from zig_gpt2_tpu.parallel import mesh as pmesh, step_spmd
+        from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
-            if not config.spmd:
-                params, config = pmesh.prepare_params(params, config, mesh)
-            elif config.mesh is None:
-                # Caller padded/placed the params itself (pad_for_tp sets
-                # spmd but not mesh) — the mesh must still land in the
-                # config or every mesh-aware kernel dispatch (op-level
-                # shard_map, step-level SPMD) silently disengages.
-                import dataclasses
-
-                config = dataclasses.replace(config, mesh=mesh)
-            dp = mesh.shape[pmesh.DATA_AXIS]
-            if batch_size % dp:
-                raise ValueError(
-                    f"batch_size {batch_size} not divisible by data-parallel "
-                    f"degree {dp} (mesh {dict(mesh.shape)})"
-                )
-            if step_spmd.enabled(config):
-                # Step-level decode needs a couple of leaves placed
-                # differently from the op-level Megatron layout (INT4
-                # row-parallel scales); no-op otherwise.
-                params = step_spmd.place_params(params, config)
-        if not config.kv_packed and gpt2.default_kv_packed(config):
-            # Serve with the head-pair-packed cache layout whenever the
-            # fused single-device kernels are active (the D=64 half-lane
-            # fix — see config.kv_packed). Must be decided here, before
-            # the cache template / jitted steps are built.
-            import dataclasses
-
-            config = dataclasses.replace(config, kv_packed=True)
+        params, config = prepare_serving(params, config, mesh, batch_size)
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -418,26 +389,32 @@ class InferenceEngine:
         # host-side per chunk; overshoot steps write only headroom rows and
         # their tokens are never yielded, so visible output is identical to
         # the per-token loop.
-        runner = self._chunk_runner(self.decode_chunk, sampling.temperature,
-                                    sampling.top_k, sampling.top_p)
+        runner = self._make_chunk(self.decode_chunk, sampling.temperature,
+                                  sampling.top_k, sampling.top_p)
+        t1 = time.perf_counter()
         pending = [int(token[0])]  # the first sampled token (one sync)
+        pending_ms = (time.perf_counter() - t1) * 1000.0
         emitted = 0
         while True:
-            t1 = time.perf_counter()
             stopped = False
             for t in pending:
                 if emitted >= steps or t in stops:
                     stopped = True
                     break
                 metrics.generated_tokens += 1
+                # Per-token cost of the chunk that produced this token —
+                # recorded only for YIELDED tokens (overshoot steps would
+                # otherwise skew the percentiles; len(per_token_ms) must
+                # track generated_tokens).
+                metrics.per_token_ms.append(pending_ms)
                 emitted += 1
                 yield t
             if stopped or emitted >= steps:
                 break
+            t1 = time.perf_counter()
             cache, toks, token, key = runner(self.params, cache, token, key)
             arr = np.asarray(toks)[:, 0]  # (chunk,) — the one sync per chunk
-            chunk_ms = (time.perf_counter() - t1) * 1000.0
-            metrics.per_token_ms.extend([chunk_ms / len(arr)] * len(arr))
+            pending_ms = (time.perf_counter() - t1) * 1000.0 / len(arr)
             pending = [int(v) for v in arr]
         metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
 
@@ -475,12 +452,6 @@ class InferenceEngine:
                 stream_to.write(tail)
                 stream_to.flush()
         return "".join(pieces)
-
-    def _chunk_runner(self, n: int, temperature: float, top_k: Optional[int],
-                      top_p: Optional[float]):
-        """n-step decode+sample chunk: one dispatch emits (n, B) tokens plus
-        the carried state (see generate_iter's chunked path)."""
-        return self._make_chunk(n, temperature, top_k, top_p)
 
     # -- fully-on-device generation (benchmark / batch path) ------------------
 

@@ -24,12 +24,12 @@ def _under_spmd() -> bool:
     parallel/step_spmd) is NOT spmd in this sense: the body already sees
     per-shard shapes, and the custom call runs per device."""
     try:
-        from jax.sharding import get_abstract_mesh
+        from jax.sharding import AxisType, get_abstract_mesh
 
         m = get_abstract_mesh()
         if not m.axis_names:
             return False
-        return not all(str(t) == "Manual" for t in m.axis_types)
+        return not all(t == AxisType.Manual for t in m.axis_types)
     except Exception:
         return False
 
@@ -114,6 +114,9 @@ def sample_manual(
     top_k: Optional[int],
     top_p: Optional[float],
     axis: str,
+    tp: int = 1,
+    data_axis: Optional[str] = None,
+    dp: int = 1,
 ) -> jax.Array:
     """Vocab-sharded sampling INSIDE a shard_map body (the step-level decode
     of parallel/step_spmd): ``logits`` is this shard's contiguous (B, V/tp)
@@ -129,15 +132,26 @@ def sample_manual(
     dp=1); elsewhere jax.random Gumbel noise per shard. Greedy (T=0) is a
     plain two-level argmax. top-k/top-p derive the per-row threshold from an
     all-gather of the raw logits (O(B·V) — once per step, and only when
-    those knobs are on)."""
+    those knobs are on).
+
+    ``data_axis``/``dp``: when the batch is data-sharded (dp > 1), each
+    data shard must draw INDEPENDENT noise — the key is replicated, so
+    without this every data shard's local row i would get byte-identical
+    seeds (two requests on different shards would decode correlated
+    continuations). Folding the data-axis index into the key fixes it;
+    dp == 1 skips the fold so the stream matches sample_sharded exactly."""
     vl = logits.shape[-1]
     w = jax.lax.axis_index(axis)
+    if dp > 1 and data_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
     if temperature == 0.0:
         z_l = jnp.max(logits, axis=-1)
         idx_l = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
         thresh = None
-        if (top_k is not None and top_k < vl) or (
+        # The top-k gate compares against the GLOBAL vocab width (tp
+        # shards of vl columns each): top_k in [vl, V) still truncates.
+        if (top_k is not None and top_k < vl * tp) or (
             top_p is not None and top_p < 1.0
         ):
             # The support cutoff needs the global row (see sample()): gather
