@@ -315,3 +315,16 @@ class TestTopP:
         logits = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
         toks = sample(logits, jax.random.PRNGKey(1), 1.0, top_k=8, top_p=0.9)
         assert toks.shape == (32,)
+
+
+def test_chunked_metrics_count_yielded_only(params):
+    """per_token_ms records only YIELDED tokens: chunk overshoot steps
+    must not add phantom entries (len == generated_tokens)."""
+    eng = InferenceEngine(CFG, params, max_seq=32, prompt_buckets=(8,),
+                          decode_chunk=4)
+    m = GenerationMetrics()
+    out = eng.generate([1, 2, 3], 10, SamplingConfig(temperature=0.0),
+                       metrics=m)
+    assert len(out) == 10
+    assert m.generated_tokens == 10
+    assert len(m.per_token_ms) == 10

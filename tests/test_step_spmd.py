@@ -254,3 +254,16 @@ def test_step_pspecs_int4_scale_replicated(params):
     assert pp["blocks"]["attn"]["c_proj"]["scale"] == P(None, None, None)
     # Column-parallel scales stay N-sharded.
     assert pp["blocks"]["mlp"]["c_fc"]["scale"] == P(None, None, "model")
+
+
+def test_sampled_dp_rows_decorrelated(params, step_spmd_on):
+    """Regression: under dp>1 the replicated key must be folded with the
+    data-axis index — without it two data shards holding IDENTICAL prompts
+    draw byte-identical noise and decode in lockstep."""
+    prompts = np.zeros((2, 8), np.int32)
+    prompts[:, :3] = [1, 2, 3]  # identical rows -> identical logits
+    eng = InferenceEngine(CFG, params, batch_size=2, max_seq=32,
+                          prompt_buckets=(8,), mesh=_mesh(2, 4))
+    out = eng.generate_scan(prompts, [3, 3], 12,
+                            SamplingConfig(temperature=1.2, seed=5))
+    assert not np.array_equal(out[0], out[1]), out
