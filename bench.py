@@ -41,6 +41,16 @@ def main() -> None:
                    help="request count for --mode serve")
     p.add_argument("--decode-chunk", type=int, default=8,
                    help="on-device decode steps per host sync (--mode serve)")
+    p.add_argument("--speculative", default=None, metavar="DRAFT",
+                   help="speculative decoding: DRAFT model name (e.g. 124M) "
+                        "proposes --spec-k tokens per round, the --model "
+                        "target verifies them in one multi-token pass "
+                        "(runtime/speculative.py; --mode decode, no --mesh)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per speculative round")
+    p.add_argument("--spec-quant", default=None,
+                   choices=["int8", "int4"],
+                   help="weight quantization for the DRAFT model")
     p.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="run sharded over a (data, model) mesh, e.g. 1x8 — "
                         "the scaling benchmark (BENCHMARKS.md); requires "
@@ -99,6 +109,50 @@ def main() -> None:
         import dataclasses
 
         config = dataclasses.replace(config, act_quant=True)
+
+    if args.speculative:
+        if args.mesh or args.mode != "decode":
+            raise SystemExit("--speculative is --mode decode, no --mesh (v1)")
+        from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
+
+        dconfig = get_config(args.speculative)
+        dparams = gpt2.init_params(dconfig, jax.random.PRNGKey(1), dtype=dtype)
+        if args.spec_quant:
+            from zig_gpt2_tpu.quant import quantize as q
+
+            dparams = q.quantize_params(dparams, mode=args.spec_quant)
+        spec = SpeculativeEngine(
+            config, params, dconfig, dparams, k=args.spec_k,
+            batch_size=args.batch, max_seq=args.prompt_len + args.steps,
+            prompt_buckets=(args.prompt_len,), kv_quant=args.kv_quant,
+        )
+        sampling = SamplingConfig(temperature=0.8, seed=0)
+        rng = np.random.default_rng(0)
+        prompts = rng.integers(0, config.vocab_size,
+                               (args.batch, args.prompt_len)).astype(np.int32)
+        lengths = [args.prompt_len] * args.batch
+        spec.generate_scan(prompts, lengths, args.steps, sampling)  # compile
+        best, rounds = float("inf"), None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = spec.generate_scan(prompts, lengths, args.steps, sampling)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, rounds = dt, spec.last_rounds
+            assert out.shape == (args.batch, args.steps)
+        tps = args.batch * args.steps / best
+        print(json.dumps({
+            "metric": f"gpt2_{args.model}_{args.dtype}"
+            + (f"_{args.quant}" if args.quant else "")
+            + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+            + f"_spec{args.speculative}_k{args.spec_k}"
+            + f"_decode_b{args.batch}_tokens_per_sec",
+            "value": round(tps, 2),
+            "unit": "tokens/sec",
+            "vs_baseline": round(tps / (1000.0 / 28.0), 2),
+            "tokens_per_round": round(args.steps / max(rounds, 1), 2),
+        }))
+        return
 
     engine = InferenceEngine(
         config, params, batch_size=args.batch,

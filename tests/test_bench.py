@@ -66,3 +66,13 @@ def test_stream_mode(capsys):
                   "--prompt-len", "8", "--steps", "6", "--repeats", "1",
                   "--stream-chunk", "3")
     assert m["value"] > 0 and "stream_chunk3" in m["metric"]
+
+
+def test_speculative_mode(capsys):
+    m = run_bench(capsys, "--model", "nano", "--speculative", "nano",
+                  "--spec-k", "2", "--batch", "1", "--prompt-len", "8",
+                  "--steps", "6", "--repeats", "1",
+                  "--quant", "int8", "--kv-quant", "int8",
+                  "--spec-quant", "int8")
+    assert m["value"] > 0 and "specnano_k2" in m["metric"]
+    assert m["tokens_per_round"] > 0

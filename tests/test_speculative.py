@@ -1,0 +1,203 @@
+"""Speculative decoding (runtime/speculative.py).
+
+Correctness contract: the emitted token stream is distributed exactly as
+target-alone decoding — greedy speculative decode must be bit-identical to
+InferenceEngine's greedy stream (any draft, any k), and temperature mode's
+accept/residual-resample construction must reproduce the target's
+next-token distribution. Also covers the `gpt2.extend` primitive against
+sequential decode_steps (the multi-token verify pass is new model surface).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_gpt2_tpu.config import GPTConfig, SamplingConfig
+from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.runtime.engine import InferenceEngine
+from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
+
+TCFG = GPTConfig(vocab_size=512, context_size=128, n_layers=2, n_heads=4,
+                 n_embed=128)
+DCFG = GPTConfig(vocab_size=512, context_size=128, n_layers=1, n_heads=2,
+                 n_embed=64)
+
+
+def _params(cfg, seed, scale=3.0):
+    # Scale up the 0.02-std init so greedy streams are diverse (unscaled
+    # random-init GPT-2 collapses to a fixed point, which would make the
+    # parity assertions vacuous).
+    p = gpt2.init_params(cfg, jax.random.PRNGKey(seed), jnp.float32)
+    return jax.tree.map(lambda x: x * scale, p)
+
+
+@pytest.fixture(scope="module")
+def tparams():
+    return _params(TCFG, 0)
+
+
+@pytest.fixture(scope="module")
+def dparams():
+    return _params(DCFG, 1)
+
+
+def _prompts(b=2, n=8):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, TCFG.vocab_size, (b, n)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# gpt2.extend — the multi-token verify/catch-up primitive
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_extend_matches_sequential_decode(tparams, kv_quant):
+    B, T = 2, 4
+    rng = np.random.default_rng(1)
+    cache = gpt2.init_kv_cache(TCFG, B, 64, quant=kv_quant)
+    prompt = jnp.asarray(rng.integers(0, TCFG.vocab_size, (B, 6)), jnp.int32)
+    lens = jnp.asarray([6, 4], jnp.int32)
+    cache, _ = gpt2.prefill(tparams, cache, prompt, lens, TCFG)
+
+    toks = jnp.asarray(rng.integers(0, TCFG.vocab_size, (B, T)), jnp.int32)
+    valid = jnp.asarray([4, 2], jnp.int32)
+    seq = cache
+    ref = np.zeros((B, T, TCFG.vocab_size), np.float32)
+    for t in range(T):
+        seq, lg = gpt2.decode_step(tparams, seq, toks[:, t], TCFG)
+        ref[:, t] = np.asarray(lg)
+    ext, logits = gpt2.extend(tparams, cache, toks, valid, TCFG)
+    logits = np.asarray(logits)
+    for b in range(B):
+        v = int(valid[b])
+        np.testing.assert_allclose(logits[b, :v], ref[b, :v],
+                                   rtol=2e-4, atol=2e-4)
+        # length advances by the VALID count only
+        assert int(ext["length"][b]) == int(cache["length"][b]) + v
+        # appended cache rows match the sequential path's
+        base = int(cache["length"][b])
+        np.testing.assert_allclose(
+            np.asarray(ext["k"])[:, b, :, base:base + v],
+            np.asarray(seq["k"])[:, b, :, base:base + v],
+            rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# greedy speculative == greedy target (bit-identical)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_greedy_parity(tparams, dparams, k):
+    B, P, S = 2, 8, 24
+    prompts = _prompts(B, P)
+    lens = [P, 5]
+    eng = InferenceEngine(TCFG, tparams, batch_size=B, max_seq=64,
+                          prompt_buckets=(P,))
+    ref = eng.generate_scan(prompts, lens, S, SamplingConfig(temperature=0.0))
+    assert len(set(ref[0].tolist())) > 3  # stream must be non-degenerate
+    spec = SpeculativeEngine(TCFG, tparams, DCFG, dparams, k=k, batch_size=B,
+                             max_seq=64, prompt_buckets=(P,))
+    out = spec.generate_scan(prompts, lens, S,
+                             SamplingConfig(temperature=0.0))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_self_draft_accepts_everything(tparams):
+    """Draft == target: every proposal is accepted, so the round count hits
+    the ceiling steps/(k+1) and the full-accept (pend/pv) bookkeeping path
+    is exercised every round."""
+    B, P, S, k = 2, 8, 24, 4
+    prompts = _prompts(B, P)
+    lens = [P, 5]
+    eng = InferenceEngine(TCFG, tparams, batch_size=B, max_seq=64,
+                          prompt_buckets=(P,))
+    ref = eng.generate_scan(prompts, lens, S, SamplingConfig(temperature=0.0))
+    spec = SpeculativeEngine(TCFG, tparams, TCFG, tparams, k=k, batch_size=B,
+                             max_seq=64, prompt_buckets=(P,))
+    out = spec.generate_scan(prompts, lens, S,
+                             SamplingConfig(temperature=0.0))
+    np.testing.assert_array_equal(out, ref)
+    assert spec.last_rounds == -(-S // (k + 1))
+
+
+def test_greedy_parity_quantized(tparams, dparams):
+    """INT8-quantized target weights + INT8 KV caches through the extend
+    path: speculative greedy still matches the (same-quantized) engine."""
+    from zig_gpt2_tpu.quant import quantize as q
+
+    B, P, S = 2, 8, 16
+    tq = q.quantize_params(tparams, mode="int8")
+    prompts = _prompts(B, P)
+    lens = [P, 5]
+    eng = InferenceEngine(TCFG, tq, batch_size=B, max_seq=64,
+                          prompt_buckets=(P,), kv_quant="int8")
+    ref = eng.generate_scan(prompts, lens, S, SamplingConfig(temperature=0.0))
+    spec = SpeculativeEngine(TCFG, tq, DCFG, dparams, k=3, batch_size=B,
+                             max_seq=64, prompt_buckets=(P,),
+                             kv_quant="int8")
+    out = spec.generate_scan(prompts, lens, S,
+                             SamplingConfig(temperature=0.0))
+    np.testing.assert_array_equal(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# temperature mode: exact target distribution
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_matches_target_distribution():
+    """The accept/residual-resample construction must make the FIRST
+    emitted token's law equal the target's next-token distribution (this
+    is the theorem speculative sampling rests on; one round with k=2 and a
+    DIFFERENT draft exercises accept, reject-resample, and bonus paths).
+    Empirical check: N seeded draws vs the exact softmax, vocab 16."""
+    vocab = 16
+    tcfg = GPTConfig(vocab_size=vocab, context_size=32, n_layers=1,
+                     n_heads=2, n_embed=32)
+    tp = _params(tcfg, 2, scale=2.0)
+    dp = _params(tcfg, 3, scale=2.0)
+    P0 = 4
+    prompts = np.arange(P0, dtype=np.int32)[None] % vocab
+    temp = 0.9
+
+    # Exact target law for the first emitted token: softmax of the target
+    # logits after consuming [prompt, t0], marginalized over t0 draws —
+    # condition on a FIXED t0 instead by making the prefill-sample greedy:
+    # temperature sampling draws t0 too, so fix the comparison by computing
+    # the mixture directly (vocab is tiny): P(first) = sum_t0 P(t0) P(.|t0).
+    cache = gpt2.init_kv_cache(tcfg, 1, 32)
+    cache, lg0 = gpt2.prefill(tp, cache, jnp.asarray(prompts),
+                              jnp.asarray([P0], jnp.int32), tcfg)
+    p_t0 = np.asarray(jax.nn.softmax(lg0[0].astype(jnp.float32) / temp))
+    mix = np.zeros(vocab)
+    for t0 in range(vocab):
+        c2, lg1 = gpt2.decode_step(tp, jax.tree.map(lambda x: x, cache),
+                                   jnp.asarray([t0], jnp.int32), tcfg)
+        p1 = np.asarray(jax.nn.softmax(lg1[0].astype(jnp.float32) / temp))
+        mix += p_t0[t0] * p1
+
+    spec = SpeculativeEngine(tcfg, tp, tcfg, dp, k=2, batch_size=1,
+                             max_seq=32, prompt_buckets=(P0,))
+    N = 3000
+    counts = np.zeros(vocab)
+    samp = SamplingConfig(temperature=temp)
+    for seed in range(N):
+        s = SamplingConfig(temperature=temp, seed=seed)
+        out = spec.generate_scan(prompts, [P0], 1, s)
+        counts[int(out[0, 0])] += 1
+    emp = counts / N
+    # 4-sigma binomial tolerance per bin
+    tol = 4 * np.sqrt(np.maximum(mix * (1 - mix), 1e-4) / N)
+    assert np.all(np.abs(emp - mix) < tol + 0.01), (emp, mix)
+
+
+def test_temperature_rejects_topk():
+    spec_args = (TCFG, _params(TCFG, 0), DCFG, _params(DCFG, 1))
+    spec = SpeculativeEngine(*spec_args, k=2, batch_size=1, max_seq=64,
+                             prompt_buckets=(8,))
+    with pytest.raises(ValueError):
+        spec.generate_scan(_prompts(1, 8), [8], 4,
+                           SamplingConfig(temperature=0.8, top_k=10))

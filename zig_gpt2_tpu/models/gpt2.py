@@ -871,6 +871,136 @@ def decode_step(
     return new_cache, logits
 
 
+def _block_extend(
+    x: jax.Array,
+    blocks: Params,
+    idx: jax.Array,
+    caches: Dict[str, jax.Array],
+    base: jax.Array,
+    valid: jax.Array,
+    config: GPTConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One transformer block over a small T-token WINDOW appended to the
+    stacked KV cache at per-lane offsets — the speculative-decode verify /
+    catch-up path (runtime/speculative.py). Same weight handling as
+    _block_decode (stacked closure weights, _linear_at with the wmm/qmm
+    GEMV kernels: rows = B*T stays <= 64), but T query rows per pass, so
+    the weights stream from HBM ONCE per window instead of once per token.
+
+    Attention is append-then-attend over the full cache via
+    ops.extend_attention — the window's causal structure falls out of the
+    column mask, and T is tiny (k+1 draft tokens) so the plain-XLA einsum
+    path is not worth a Pallas variant. The fused single-row decode
+    kernels and the packed cache layout do not apply here
+    (default_kv_packed is forced off by the speculative engine).
+
+    Args:
+      x: (B, T, E) window hidden states.
+      base: (B,) int32 valid cache rows before the window.
+      valid: (B,) int32 valid window rows (<= T); padding rows are
+        appended (then overwritten later) but masked from attention.
+    """
+    assert not config.kv_packed, "extend path is unpacked-cache only"
+    assert config.manual_axis is None, "extend path is single-device only"
+    B, T, _ = x.shape
+    ln1 = _layer_slice(blocks["ln_1"], idx)
+    h = ops.layer_norm(x, ln1["w"], ln1["b"], config.layer_norm_eps)
+    H = config.attn_heads
+
+    def heads(t):
+        return t.reshape(*t.shape[:-1], H, t.shape[-1] // H)
+
+    q = heads(_linear_at(blocks["attn"]["wq"], h, idx, config))  # (B, T, H, D)
+    k = heads(_linear_at(blocks["attn"]["wk"], h, idx, config))
+    v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
+    q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
+
+    caches = dict(caches)
+    if "k_scale" in caches:  # INT8 cache: quantize the window on append
+        kq, ks = ops.quantize_kv(k)
+        vq, vs = ops.quantize_kv(v)
+        for t in range(T):
+            caches["k"] = _put_row_stacked(caches["k"], kq[:, :, t], idx, base + t)
+            caches["v"] = _put_row_stacked(caches["v"], vq[:, :, t], idx, base + t)
+            caches["k_scale"] = _put_scale_stacked(
+                caches["k_scale"], ks[:, :, t], idx, base + t)
+            caches["v_scale"] = _put_scale_stacked(
+                caches["v_scale"], vs[:, :, t], idx, base + t)
+        kc = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
+        ksc = jax.lax.dynamic_index_in_dim(caches["k_scale"], idx, 0, keepdims=False)
+        vsc = jax.lax.dynamic_index_in_dim(caches["v_scale"], idx, 0, keepdims=False)
+        attn = ops.extend_attention_quant(q, kc, ksc, vc, vsc, base, valid)
+    else:
+        for t in range(T):
+            caches["k"] = _put_row_stacked(caches["k"], k[:, :, t], idx, base + t)
+            caches["v"] = _put_row_stacked(caches["v"], v[:, :, t], idx, base + t)
+        kc = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
+        attn = ops.extend_attention(q, kc, vc, base, valid)
+    attn = attn.swapaxes(1, 2).reshape(B, T, -1)
+    x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config, role="row")
+    ln2 = _layer_slice(blocks["ln_2"], idx)
+    h = ops.layer_norm(x, ln2["w"], ln2["b"], config.layer_norm_eps)
+    h = _linear_at(blocks["mlp"]["c_fc"], h, idx, config, role="col")
+    h = ops.gelu(h)
+    x = x + _linear_at(blocks["mlp"]["c_proj"], h, idx, config, role="row")
+    return x, caches
+
+
+def extend(
+    params: Params,
+    cache: KVCache,
+    tokens: jax.Array,
+    valid: jax.Array,
+    config: GPTConfig,
+) -> Tuple[KVCache, jax.Array]:
+    """Multi-token cache-extending forward: process a (B, T) token window
+    starting at each lane's ``cache["length"]`` and return logits at EVERY
+    window position — T sequential decode_steps' worth of logits for one
+    weight-streaming pass. This is the speculative-decode primitive
+    (runtime/speculative.py): the target model verifies k draft tokens (+1
+    bonus) per call; the draft model uses it to catch up on committed
+    tokens it has not processed.
+
+    Args:
+      tokens: (B, T) int32, right-padded per lane to the static T.
+      valid: (B,) int32 true window lengths (1 <= valid <= T). Padding
+        rows ARE appended to the cache (and masked from attention) but not
+        counted: the returned cache's length advances by ``valid``, so
+        later appends overwrite them.
+
+    Returns (cache, logits) with logits (B, T, vocab); row i is the
+    next-token distribution after consuming tokens[:, :i+1]. Rows at or
+    beyond ``valid`` are garbage — callers gather only valid positions.
+    The cache must have >= T rows of headroom past every lane's length.
+    """
+    base = cache["length"]
+    B, T = tokens.shape
+    # Clamp padding-row positions into the wpe table (real rows are in
+    # range by the headroom contract; padding rows may run past it).
+    pos = jnp.minimum(base[:, None] + jnp.arange(T)[None, :],
+                      params["wpe"].shape[0] - 1)
+    x = ops.embedding(tokens, params["wte"]) + ops.embedding(pos, params["wpe"])
+    layer_caches = {name: c for name, c in cache.items() if name != "length"}
+    blocks = params["blocks"]  # closure-invariant: scan never slices weights
+
+    def step(carry, idx):
+        x, caches = carry
+        x, caches = _block_extend(x, blocks, idx, caches, base, valid, config)
+        return (x, caches), None
+
+    unroll = max(1, int(os.environ.get("ZG2_DECODE_UNROLL", "4")))
+    (x, new_layer_caches), _ = jax.lax.scan(
+        step, (x, layer_caches), jnp.arange(config.n_layers),
+        unroll=min(unroll, config.n_layers),
+    )
+    x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
+    logits = _lm_head(params, x, config)
+    new_cache = dict(new_layer_caches, length=base + valid)
+    return new_cache, logits
+
+
 def make_decode_step(config: GPTConfig):
     """Jitted decode step with the KV cache donated (zero-allocation steady
     state — the TPU analogue of the reference's State arena)."""

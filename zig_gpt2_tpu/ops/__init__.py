@@ -15,6 +15,8 @@ from zig_gpt2_tpu.ops.layers import (
     decode_attention,
     decode_attention_quant,
     embedding,
+    extend_attention,
+    extend_attention_quant,
     gelu,
     layer_norm,
     linear,
@@ -27,6 +29,8 @@ __all__ = [
     "decode_attention",
     "decode_attention_quant",
     "embedding",
+    "extend_attention",
+    "extend_attention_quant",
     "gelu",
     "layer_norm",
     "linear",

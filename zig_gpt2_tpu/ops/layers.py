@@ -238,3 +238,84 @@ def decode_attention(
         "bhs,bhsd->bhd", probs.astype(v_cache.dtype), v_cache,
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
+
+
+def _extend_mask(base: jax.Array, valid: jax.Array, T: int, S: int) -> jax.Array:
+    """(B, T, S) bool attention mask for ``extend_attention``: window row t
+    (absolute position base+t) may see cache cols <= base+t, clipped to the
+    window's valid rows (cols >= base+valid are padding appends). Padding
+    QUERY rows produce garbage outputs — callers discard them (the logits
+    gather in speculative decode indexes only valid positions)."""
+    col = jnp.arange(S)
+    row = jnp.arange(T)
+    limit = jnp.minimum(base[:, None] + row[None, :] + 1,
+                        (base + valid)[:, None])  # (B, T)
+    return col[None, None, :] < limit[:, :, None]
+
+
+def extend_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    base: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """Multi-query decode attention: T new queries over a fixed-shape cache
+    whose rows [base, base+T) were JUST appended (append-then-attend — the
+    in-window causal structure falls out of the column mask, no separate
+    window term). The speculative-decode verify/catch-up path
+    (runtime/speculative.py): one weight-streaming pass scores T draft
+    tokens instead of T sequential single-row steps.
+
+    Args:
+      q: (B, H, T, D) — the window's queries, T small (k+1 draft tokens).
+      k_cache, v_cache: (B, H, S, D) with the window rows written.
+      base: (B,) int32 cache rows valid BEFORE the window (per lane).
+      valid: (B,) int32 valid window rows (1 <= valid <= T); padding rows
+        beyond are masked for every query.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    mask = _extend_mask(base, valid, q.shape[-2], k_cache.shape[-2])
+    scores = jnp.where(mask[:, None], scores, MASK_VALUE)
+    probs = softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhts,bhsd->bhtd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def extend_attention_quant(
+    q: jax.Array,
+    k_cache: jax.Array,
+    k_scale: jax.Array,
+    v_cache: jax.Array,
+    v_scale: jax.Array,
+    base: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """``extend_attention`` over the INT8 KV cache — same folded
+    dequantization as decode_attention_quant (K scale multiplies the score,
+    V scale folds into the probability).
+
+    q: (B, H, T, D) float; k/v_cache: (B, H, S, D) int8;
+    k/v_scale: (B, H, S) f32; base/valid: (B,) int32.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / math.sqrt(head_dim)
+    kf = k_cache.astype(jnp.bfloat16)  # int8 is exact in bf16
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q.astype(jnp.bfloat16), kf,
+        preferred_element_type=jnp.float32,
+    ) * (k_scale[:, :, None, :] * scale)
+    mask = _extend_mask(base, valid, q.shape[-2], k_cache.shape[-2])
+    scores = jnp.where(mask[:, None], scores, MASK_VALUE)
+    probs = softmax(scores, axis=-1)  # f32
+    pv = (probs * v_scale[:, :, None, :]).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "bhts,bhsd->bhtd", pv, v_cache.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)

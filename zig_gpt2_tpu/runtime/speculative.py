@@ -1,0 +1,322 @@
+"""Speculative decoding: a small DRAFT model proposes k tokens per round;
+the TARGET model verifies all of them in ONE multi-token ``gpt2.extend``
+pass and keeps the longest accepted prefix (+1 token sampled from its own
+distribution). Output tokens are distributed EXACTLY as target-alone
+decoding — greedy speculative decode is bit-identical to the target's
+greedy stream, and temperature sampling uses the standard accept /
+residual-resample construction (Leviathan et al. 2023; Chen et al. 2023 —
+see PAPERS.md), whose acceptance test makes the marginal law of every
+emitted token equal the target's.
+
+Why this wins on TPU at B=1: the decode GEMVs are weight-streaming bound
+(BENCHMARKS.md perf model — the MXU weight-load rate, ~480 Gelem/s,
+dtype-invariant), so a verify pass over k+1 query rows costs ~the same HBM
+time as ONE row. Each round streams the target weights once for up to k+1
+committed tokens instead of once per token; the draft adds k small-model
+steps. Beyond-parity feature: the reference has nothing like it
+(/root/reference/src/main.zig:322-342 decodes strictly one token per
+forward).
+
+Round invariants (per batch lane; all under one jitted lax.while_loop):
+  - both caches hold M processed tokens; ``tok`` is committed-but-unprocessed;
+  - the draft may additionally be ONE token behind (``pend``/``pend_valid``:
+    when the previous round accepted all k drafts, the bonus token's
+    predecessor d_k was never decode_step'd through the draft);
+  - draft: one 2-token ``extend`` catch-up (valid 1 or 2) yields the first
+    proposal's distribution, then k-1 decode_steps propose the rest;
+  - target: one (k+1)-token ``extend`` over [tok, d_1..d_k] yields P_1..P_k
+    (verify) and P_{k+1} (bonus);
+  - accept a = longest prefix with u_i·q_i(d_i) < p_i(d_i) (greedy:
+    argmax P_i == d_i); emit d_1..d_a plus one token from
+    norm(max(P_{a+1}-Q_{a+1}, 0)) (a<k) or P_{k+1} (a==k — Q padded with a
+    zero row makes both the same gather);
+  - cache lengths rewind to M+1+a (rows past them are garbage that the next
+    round's appends overwrite — the fixed-shape cache IS the rollback).
+
+Scope (v1): single-device, unpacked KV cache (``kv_packed`` is forced off —
+``gpt2.extend`` is the plain-XLA multi-query path), temperature or greedy
+sampling (top-k/top-p would need the truncated distributions on both sides
+of the acceptance test — rejected for now, not wired).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_gpt2_tpu.config import GPTConfig, SamplingConfig
+from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.runtime.engine import cache_formats
+
+
+def _single_device_config(config: GPTConfig) -> GPTConfig:
+    if config.spmd or config.mesh is not None:
+        raise ValueError("SpeculativeEngine is single-device (v1): pass "
+                         "unsharded params/configs")
+    if config.kv_packed:
+        config = dataclasses.replace(config, kv_packed=False)
+    return config
+
+
+def _probs(logits: jax.Array, temperature: float) -> jax.Array:
+    return jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+
+
+class SpeculativeEngine:
+    """Draft+target speculative generation engine.
+
+    Args:
+      config/params: the TARGET model (the one whose distribution the
+        output follows) — quantized or float leaves, as for InferenceEngine.
+      draft_config/draft_params: the DRAFT model (same tokenizer family).
+      k: draft tokens proposed per round (the verify window is k+1).
+      kv_quant / draft_kv_quant: per-model "int8" KV-cache quantization.
+    """
+
+    def __init__(
+        self,
+        config: GPTConfig,
+        params,
+        draft_config: GPTConfig,
+        draft_params,
+        k: int = 4,
+        batch_size: int = 1,
+        max_seq: Optional[int] = None,
+        prompt_buckets: Optional[Sequence[int]] = None,
+        kv_quant: Optional[str] = None,
+        draft_kv_quant: Optional[str] = None,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.config = _single_device_config(config)
+        self.draft_config = _single_device_config(draft_config)
+        self.params = params
+        self.draft_params = draft_params
+        self.k = k
+        self.batch_size = batch_size
+        self.max_seq = max_seq or min(config.context_size,
+                                      draft_config.context_size)
+        self.prompt_buckets = tuple(
+            b for b in (prompt_buckets or (32, 128, 512, self.max_seq))
+            if b <= self.max_seq
+        ) or (self.max_seq,)
+        self.kv_quant = kv_quant
+        self.draft_kv_quant = draft_kv_quant
+        # Window headroom: a round appends up to k+1 rows past the last
+        # committed position before acceptance trims the length back.
+        self._rows_t = self.max_seq + self.k + 1
+        self._rows_d = self.max_seq + self.k + 1
+        self._fmt_t = cache_formats(jax.eval_shape(functools.partial(
+            self._new_cache_shape, target=True)))
+        self._fmt_d = cache_formats(jax.eval_shape(functools.partial(
+            self._new_cache_shape, target=False)))
+        self._prefill_t = jax.jit(
+            functools.partial(gpt2.prefill, config=self.config),
+            donate_argnums=(1,), out_shardings=(self._fmt_t, None))
+        self._prefill_d = jax.jit(
+            functools.partial(gpt2.prefill, config=self.draft_config),
+            donate_argnums=(1,), out_shardings=(self._fmt_d, None))
+        self._loops: Dict = {}
+        self.last_rounds: Optional[int] = None  # acceptance telemetry
+
+    def _new_cache_shape(self, target: bool):
+        if target:
+            return gpt2.init_kv_cache(
+                self.config, self.batch_size, self._rows_t,
+                dtype=self.params["wte"].dtype, quant=self.kv_quant)
+        return gpt2.init_kv_cache(
+            self.draft_config, self.batch_size, self._rows_d,
+            dtype=self.draft_params["wte"].dtype, quant=self.draft_kv_quant)
+
+    def _new_caches(self):
+        ct = self._new_cache_shape(True)
+        cd = self._new_cache_shape(False)
+        if self._fmt_t is not None:
+            ct = jax.tree.map(jax.device_put, ct, self._fmt_t)
+            cd = jax.tree.map(jax.device_put, cd, self._fmt_d)
+        return ct, cd
+
+    # -- the jitted round loop ------------------------------------------------
+
+    def _make_loop(self, steps: int, temperature: float):
+        """(params_t, params_d, cache_t, cache_d, tok, key) ->
+        (buf (B, steps+k+1), counts (B,), rounds). Caches donated."""
+        key_ = (steps, temperature)
+        hit = self._loops.get(key_)
+        if hit is not None:
+            return hit
+        k = self.k
+        B = self.batch_size
+        cap = steps + k + 1
+        conf_t, conf_d = self.config, self.draft_config
+        greedy = temperature == 0.0
+
+        def round_body(params_t, params_d, carry):
+            (cache_t, cache_d, tok, pend, pv, key, buf, cursor, rounds) = carry
+            m_t = cache_t["length"]
+            m_d = cache_d["length"]
+            key, k_draft, k_acc, k_next = jax.random.split(key, 4)
+
+            # ---- draft: catch-up extend (valid 1 or 2) + k-1 decode steps
+            w0 = jnp.where(pv, pend, tok)
+            w1 = jnp.where(pv, tok, jnp.zeros_like(tok))
+            wd = jnp.stack([w0, w1], axis=1)  # (B, 2)
+            vd = 1 + pv.astype(jnp.int32)
+            cache_d, ld = gpt2.extend(params_d, cache_d, wd, vd, conf_d)
+            lg = jnp.take_along_axis(ld, (vd - 1)[:, None, None], axis=1)[:, 0]
+
+            def draft_sample(lg, kk):
+                if greedy:
+                    return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                return jax.random.categorical(
+                    kk, lg.astype(jnp.float32) / temperature, axis=-1
+                ).astype(jnp.int32)
+
+            d_list, q_list = [], []
+            dkeys = jax.random.split(k_draft, k)
+            d = draft_sample(lg, dkeys[0])
+            d_list.append(d)
+            if not greedy:
+                q_list.append(_probs(lg, temperature))
+            for i in range(1, k):
+                cache_d, lg = gpt2.decode_step(params_d, cache_d, d, conf_d)
+                d = draft_sample(lg, dkeys[i])
+                d_list.append(d)
+                if not greedy:
+                    q_list.append(_probs(lg, temperature))
+            ds = jnp.stack(d_list, axis=1)  # (B, k)
+
+            # ---- target: one (k+1)-row verify extend
+            wt = jnp.concatenate([tok[:, None], ds], axis=1)  # (B, k+1)
+            cache_t, lt = gpt2.extend(
+                params_t, cache_t, wt,
+                jnp.full((B,), k + 1, jnp.int32), conf_t)
+
+            # ---- acceptance: longest prefix, then the +1 token
+            if greedy:
+                tgt = jnp.argmax(lt, axis=-1).astype(jnp.int32)  # (B, k+1)
+                acc = tgt[:, :k] == ds  # (B, k)
+            else:
+                P = _probs(lt, temperature)  # (B, k+1, V)
+                Q = jnp.stack(q_list, axis=1)  # (B, k, V)
+                p_tok = jnp.take_along_axis(P[:, :k], ds[:, :, None], 2)[..., 0]
+                q_tok = jnp.take_along_axis(Q, ds[:, :, None], 2)[..., 0]
+                u = jax.random.uniform(k_acc, (B, k))
+                acc = u * q_tok < p_tok
+            a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+
+            if greedy:
+                nxt = jnp.take_along_axis(tgt, a[:, None], axis=1)[:, 0]
+            else:
+                # Unified residual/bonus: pad Q with a zero row at index k so
+                # the a==k gather subtracts nothing and resamples from P_k+1.
+                Qp = jnp.concatenate([Q, jnp.zeros_like(P[:, :1])], axis=1)
+                P_a = jnp.take_along_axis(P, a[:, None, None], 1)[:, 0]
+                Q_a = jnp.take_along_axis(Qp, a[:, None, None], 1)[:, 0]
+                resid = jnp.clip(P_a - Q_a, 0.0, None)
+                norm = jnp.sum(resid, axis=-1, keepdims=True)
+                # Degenerate all-clipped rows (numerics): fall back to P_a.
+                resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20),
+                                  P_a)
+                nxt = jax.random.categorical(
+                    k_next, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
+                ).astype(jnp.int32)
+
+            # ---- commit: emit d_1..d_a then nxt at slot a
+            slots = jnp.arange(k + 1)[None, :]  # (1, k+1)
+            d_pad = jnp.concatenate(
+                [ds, jnp.zeros((B, 1), jnp.int32)], axis=1)
+            emit = jnp.where(slots < a[:, None], d_pad,
+                             jnp.where(slots == a[:, None], nxt[:, None], 0))
+            for b in range(B):  # per-lane cursor write (B static)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, emit[b][None], (b, cursor[b]))
+            cursor = cursor + a + 1
+
+            # ---- rewind lengths to the committed prefix
+            cache_t = dict(cache_t, length=m_t + 1 + a)
+            cache_d = dict(cache_d, length=jnp.minimum(m_t + 1 + a, m_d
+                                                       + vd + k - 1))
+            pv = a == k
+            pend = ds[:, k - 1]
+            tok = nxt
+            return (cache_t, cache_d, tok, pend, pv, key, buf, cursor,
+                    rounds + 1)
+
+        def loop(params_t, params_d, cache_t, cache_d, tok, key):
+            buf = jnp.zeros((B, cap), jnp.int32)
+            cursor = jnp.zeros((B,), jnp.int32)
+            pend = jnp.zeros((B,), jnp.int32)
+            pv = jnp.zeros((B,), bool)
+            carry = (cache_t, cache_d, tok, pend, pv, key, buf, cursor,
+                     jnp.zeros((), jnp.int32))
+
+            def cond(c):
+                return jnp.min(c[7]) < steps
+
+            body = functools.partial(round_body, params_t, params_d)
+            carry = jax.lax.while_loop(cond, lambda c: body(c), carry)
+            return carry[6], carry[7], carry[8]
+
+        # No donate on the caches: the loop returns only (buf, counts,
+        # rounds), so there is no same-shaped output for XLA to alias the
+        # donated buffers into (donation would warn and do nothing).
+        fn = jax.jit(loop)
+        self._loops[key_] = fn
+        return fn
+
+    # -- public API -----------------------------------------------------------
+
+    def generate_scan(
+        self,
+        prompt_ids: np.ndarray,
+        lengths: Sequence[int],
+        n_steps: int,
+        sampling: SamplingConfig = SamplingConfig(),
+    ) -> np.ndarray:
+        """Batched speculative generation, entire round loop on device.
+        Same contract as InferenceEngine.generate_scan: (B, T) padded
+        prompts + true lengths -> (B, n_steps) generated ids (the token
+        sampled from the prefill logits is consumed, not emitted)."""
+        if sampling.top_k is not None or sampling.top_p is not None:
+            raise ValueError("speculative decoding supports temperature/"
+                             "greedy sampling only (v1)")
+        prompt_ids = np.asarray(prompt_ids)
+        if prompt_ids.shape[0] != self.batch_size:
+            raise ValueError(f"batch {prompt_ids.shape[0]} != engine "
+                             f"batch_size {self.batch_size}")
+        if max(lengths) + n_steps > self.max_seq:
+            raise ValueError("prompt + n_steps exceeds max_seq")
+        cache_t, cache_d = self._new_caches()
+        toks = jnp.asarray(prompt_ids, jnp.int32)
+        lens = jnp.asarray(lengths, jnp.int32)
+        cache_t, logits = self._prefill_t(self.params, cache_t, toks, lens)
+        cache_d, _ = self._prefill_d(self.draft_params, cache_d, toks, lens)
+        key = jax.random.PRNGKey(sampling.seed)
+        key, sub = jax.random.split(key)
+        if sampling.greedy:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            tok = jax.random.categorical(
+                sub, logits.astype(jnp.float32) / sampling.temperature,
+                axis=-1).astype(jnp.int32)
+        loop = self._make_loop(n_steps, sampling.temperature)
+        buf, counts, rounds = loop(self.params, self.draft_params,
+                                   cache_t, cache_d, tok, key)
+        self.last_rounds = int(rounds)
+        out = np.asarray(buf)[:, :n_steps]
+        assert int(np.min(np.asarray(counts))) >= n_steps
+        return out
+
+    @property
+    def acceptance_stats(self) -> Optional[dict]:
+        """After a generate_scan: mean emitted tokens per round (ceiling is
+        k+1) — the speculative efficiency number for BENCHMARKS.md."""
+        if self.last_rounds is None:
+            return None
+        return {"rounds": self.last_rounds, "k": self.k}
