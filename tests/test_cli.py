@@ -85,3 +85,27 @@ def test_demo_sampling_flags(capsys):
     cli.main(["--demo", "--max-tokens", "3", "--top-p", "0.9", "--temp",
               "0.9", "--seed", "2", "xyz"])
     assert capsys.readouterr().out.startswith("xyz")
+
+
+def test_demo_speculative_matches_plain_greedy(capsys):
+    """--draft-model greedy streaming == plain greedy streaming (the
+    speculative acceptance rule makes greedy bit-identical to the target)."""
+    cli.main(["--demo", "--max-tokens", "12", "--temp", "0", "abc def"])
+    want = capsys.readouterr().out
+    cli.main(["--demo", "--max-tokens", "12", "--temp", "0", "abc def",
+              "--draft-model", "demo", "--spec-k", "3"])
+    assert capsys.readouterr().out == want
+
+
+def test_demo_speculative_metrics(capsys):
+    cli.main(["--demo", "--max-tokens", "6", "--metrics", "hello",
+              "--draft-model", "demo", "--spec-k", "2"])
+    err = capsys.readouterr().err
+    m = json.loads([l for l in err.splitlines() if l.startswith("{")][-1])
+    assert m["generated_tokens"] == 6
+    assert m["tokens_per_sec"] > 0
+
+
+def test_speculative_rejects_mesh():
+    with pytest.raises(SystemExit):
+        cli.main(["--demo", "--mesh", "1x8", "--draft-model", "demo", "x"])

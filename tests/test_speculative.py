@@ -201,3 +201,45 @@ def test_temperature_rejects_topk():
     with pytest.raises(ValueError):
         spec.generate_scan(_prompts(1, 8), [8], 4,
                            SamplingConfig(temperature=0.8, top_k=10))
+
+
+# ---------------------------------------------------------------------------
+# streaming iterator
+# ---------------------------------------------------------------------------
+
+
+def test_generate_iter_matches_scan(tparams, dparams):
+    """The round-streaming iterator yields [prefill token] + the scan
+    stream shifted by one (generate_scan omits the prefill-sampled token,
+    generate_iter yields it first — both mirror InferenceEngine)."""
+    P, S = 8, 17
+    prompts = _prompts(1, P)
+    spec = SpeculativeEngine(TCFG, tparams, DCFG, dparams, k=3, batch_size=1,
+                             max_seq=64, prompt_buckets=(P,))
+    scan = spec.generate_scan(prompts, [P], S,
+                              SamplingConfig(temperature=0.0))[0]
+    it = list(spec.generate_iter(list(prompts[0]), S,
+                                 SamplingConfig(temperature=0.0)))
+    assert len(it) == S
+    # engine reference stream for the same prompt
+    eng = InferenceEngine(TCFG, tparams, batch_size=1, max_seq=64,
+                          prompt_buckets=(P,))
+    ref = list(eng.generate_iter(list(prompts[0]), S,
+                                 SamplingConfig(temperature=0.0)))
+    assert it == ref
+    # and the scan stream is the iter stream minus the prefill token
+    np.testing.assert_array_equal(scan[:-1], np.asarray(it[1:]))
+
+
+def test_generate_iter_stop_token(tparams, dparams):
+    P = 8
+    prompts = _prompts(1, P)
+    spec = SpeculativeEngine(TCFG, tparams, DCFG, dparams, k=3, batch_size=1,
+                             max_seq=64, prompt_buckets=(P,))
+    full = list(spec.generate_iter(list(prompts[0]), 16,
+                                   SamplingConfig(temperature=0.0)))
+    stop = full[5]
+    got = list(spec.generate_iter(list(prompts[0]), 16,
+                                  SamplingConfig(temperature=0.0),
+                                  stop_tokens=[stop]))
+    assert got == full[:full.index(stop)]

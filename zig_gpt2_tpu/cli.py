@@ -58,6 +58,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-device decode steps per host sync (streaming and "
                         "batch modes; default: 8 on TPU for streaming, 1 on "
                         "CPU / batch)")
+    p.add_argument("--draft-model", default=None, metavar="NAME",
+                   help="speculative decoding: draft model config name "
+                        "(e.g. 124M). The draft proposes --spec-k tokens "
+                        "per round; the --model target verifies them in "
+                        "one pass (runtime/speculative.py). Single-prompt "
+                        "streaming only; temperature/greedy sampling; no "
+                        "--mesh")
+    p.add_argument("--draft-weights", default=None,
+                   help="draft checkpoint (raw dir or .npz); --demo uses a "
+                        "random draft")
+    p.add_argument("--draft-quant", default=None, choices=["int8", "int4"],
+                   help="quantize the draft model's weights")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per speculative round")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the JAX backend (or env ZG2_PLATFORM). "
                         "Plain JAX_PLATFORMS=cpu does not survive "
@@ -204,6 +218,63 @@ def main(argv=None) -> None:
             stop_tokens = [eos]
         else:
             stop_tokens = [int(args.stop)]
+
+    if args.draft_model is not None:
+        # (--demo --draft-model demo: the name is ignored, a small random
+        # draft sharing the demo tokenizer is built instead.)
+        from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
+
+        if mesh is not None or args.batch_file is not None:
+            sys.exit("error: --draft-model is single-prompt, no --mesh (v1)")
+        if args.demo:
+            from zig_gpt2_tpu.config import GPTConfig
+
+            draft_config = GPTConfig(vocab_size=config.vocab_size,
+                                     context_size=config.context_size,
+                                     n_layers=1, n_heads=2, n_embed=64)
+            draft_params = gpt2.init_params(
+                draft_config, jax.random.PRNGKey(args.seed + 1), dtype)
+        else:
+            draft_config = get_config(args.draft_model)
+            if args.draft_weights is None:
+                sys.exit("error: --draft-weights required with --draft-model"
+                         " (or use --demo)")
+            from zig_gpt2_tpu.utils import io as zio
+
+            if str(args.draft_weights).endswith(".npz"):
+                draft_params = zio.load_pytree_npz(args.draft_weights)
+            else:
+                draft_params = zio.load_gpt2_raw(args.draft_weights,
+                                                 draft_config, dtype=dtype)
+        if args.draft_quant and "lm_head" not in draft_params:
+            from zig_gpt2_tpu.quant import quantize as q
+
+            draft_params = q.quantize_params(draft_params,
+                                             mode=args.draft_quant)
+        spec = SpeculativeEngine(
+            config, params, draft_config, draft_params, k=args.spec_k,
+            max_seq=args.max_seq or min(config.context_size,
+                                        draft_config.context_size),
+            kv_quant=kv_quant,
+        )
+        metrics = GenerationMetrics()
+        print(args.prompt, end="", flush=True)
+        with xprof_trace(args.profile):
+            spec.generate_text(
+                args.prompt, encoder, args.max_tokens, sampling,
+                stream_to=sys.stdout, metrics=metrics,
+                stop_tokens=stop_tokens,
+            )
+        print()
+        if args.metrics:
+            print(json.dumps({
+                "prompt_tokens": metrics.prompt_tokens,
+                "generated_tokens": metrics.generated_tokens,
+                "prefill_ms": round(metrics.prefill_ms, 3),
+                "ms_per_token": round(metrics.ms_per_token, 3),
+                "tokens_per_sec": round(metrics.tokens_per_sec, 2),
+            }), file=sys.stderr)
+        return
 
     if args.batch_file is not None:
         from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher

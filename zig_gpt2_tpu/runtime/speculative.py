@@ -141,23 +141,21 @@ class SpeculativeEngine:
             cd = jax.tree.map(jax.device_put, cd, self._fmt_d)
         return ct, cd
 
-    # -- the jitted round loop ------------------------------------------------
+    # -- the speculative round ------------------------------------------------
 
-    def _make_loop(self, steps: int, temperature: float):
-        """(params_t, params_d, cache_t, cache_d, tok, key) ->
-        (buf (B, steps+k+1), counts (B,), rounds). Caches donated."""
-        key_ = (steps, temperature)
-        hit = self._loops.get(key_)
-        if hit is not None:
-            return hit
+    def _round_fn(self, temperature: float):
+        """Build the ONE-round function shared by the on-device while_loop
+        (generate_scan) and the streaming iterator (generate_iter):
+        ``(params_t, params_d, carry) -> (carry', emit (B, k+1), n (B,))``
+        where carry = (cache_t, cache_d, tok, pend, pv, key) and the first
+        ``n[b]`` slots of ``emit[b]`` are this round's committed tokens."""
         k = self.k
         B = self.batch_size
-        cap = steps + k + 1
         conf_t, conf_d = self.config, self.draft_config
         greedy = temperature == 0.0
 
         def round_body(params_t, params_d, carry):
-            (cache_t, cache_d, tok, pend, pv, key, buf, cursor, rounds) = carry
+            (cache_t, cache_d, tok, pend, pv, key) = carry
             m_t = cache_t["length"]
             m_d = cache_d["length"]
             key, k_draft, k_acc, k_next = jax.random.split(key, 4)
@@ -233,10 +231,6 @@ class SpeculativeEngine:
                 [ds, jnp.zeros((B, 1), jnp.int32)], axis=1)
             emit = jnp.where(slots < a[:, None], d_pad,
                              jnp.where(slots == a[:, None], nxt[:, None], 0))
-            for b in range(B):  # per-lane cursor write (B static)
-                buf = jax.lax.dynamic_update_slice(
-                    buf, emit[b][None], (b, cursor[b]))
-            cursor = cursor + a + 1
 
             # ---- rewind lengths to the committed prefix
             cache_t = dict(cache_t, length=m_t + 1 + a)
@@ -245,28 +239,65 @@ class SpeculativeEngine:
             pv = a == k
             pend = ds[:, k - 1]
             tok = nxt
-            return (cache_t, cache_d, tok, pend, pv, key, buf, cursor,
-                    rounds + 1)
+            return (cache_t, cache_d, tok, pend, pv, key), emit, a + 1
+
+        return round_body
+
+    def _init_carry(self, cache_t, cache_d, tok, key):
+        B = self.batch_size
+        pend = jnp.zeros((B,), jnp.int32)
+        pv = jnp.zeros((B,), bool)
+        return (cache_t, cache_d, tok, pend, pv, key)
+
+    def _make_loop(self, steps: int, temperature: float):
+        """(params_t, params_d, cache_t, cache_d, tok, key) ->
+        (buf (B, steps+k+1), counts (B,), rounds) — the whole round loop on
+        device (generate_scan / bench path)."""
+        key_ = ("loop", steps, temperature)
+        hit = self._loops.get(key_)
+        if hit is not None:
+            return hit
+        B = self.batch_size
+        cap = steps + self.k + 1
+        round_body = self._round_fn(temperature)
 
         def loop(params_t, params_d, cache_t, cache_d, tok, key):
             buf = jnp.zeros((B, cap), jnp.int32)
             cursor = jnp.zeros((B,), jnp.int32)
-            pend = jnp.zeros((B,), jnp.int32)
-            pv = jnp.zeros((B,), bool)
-            carry = (cache_t, cache_d, tok, pend, pv, key, buf, cursor,
-                     jnp.zeros((), jnp.int32))
+            carry = (self._init_carry(cache_t, cache_d, tok, key),
+                     buf, cursor, jnp.zeros((), jnp.int32))
 
             def cond(c):
-                return jnp.min(c[7]) < steps
+                return jnp.min(c[2]) < steps
 
-            body = functools.partial(round_body, params_t, params_d)
-            carry = jax.lax.while_loop(cond, lambda c: body(c), carry)
-            return carry[6], carry[7], carry[8]
+            def body(c):
+                inner, buf, cursor, rounds = c
+                inner, emit, n = round_body(params_t, params_d, inner)
+                for b in range(B):  # per-lane cursor write (B static)
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, emit[b][None], (b, cursor[b]))
+                return (inner, buf, cursor + n, rounds + 1)
+
+            carry = jax.lax.while_loop(cond, body, carry)
+            return carry[1], carry[2], carry[3]
 
         # No donate on the caches: the loop returns only (buf, counts,
         # rounds), so there is no same-shaped output for XLA to alias the
         # donated buffers into (donation would warn and do nothing).
         fn = jax.jit(loop)
+        self._loops[key_] = fn
+        return fn
+
+    def _make_round(self, temperature: float):
+        """The jitted single round for host-streaming: carry in, carry out,
+        plus this round's (B, k+1) tokens and per-lane counts — ONE host
+        sync delivers up to k+1 tokens (the speculative analogue of the
+        engine's chunked streaming)."""
+        key_ = ("round", temperature)
+        hit = self._loops.get(key_)
+        if hit is not None:
+            return hit
+        fn = jax.jit(self._round_fn(temperature), donate_argnums=(2,))
         self._loops[key_] = fn
         return fn
 
@@ -312,6 +343,119 @@ class SpeculativeEngine:
         out = np.asarray(buf)[:, :n_steps]
         assert int(np.min(np.asarray(counts))) >= n_steps
         return out
+
+    def generate_iter(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        stop_tokens: Sequence[int] = (),
+        metrics=None,
+    ):
+        """Single-sequence streaming generation (the CLI path): one host
+        sync per speculative ROUND delivers up to k+1 committed tokens.
+        Same visible semantics as InferenceEngine.generate_iter — the
+        prefill-sampled token is yielded first, stop/budget checks run per
+        round and overshoot is discarded."""
+        import time
+
+        from zig_gpt2_tpu.runtime.engine import GenerationMetrics
+
+        if self.batch_size != 1:
+            raise ValueError("generate_iter is single-sequence")
+        if sampling.top_k is not None or sampling.top_p is not None:
+            raise ValueError("speculative decoding supports temperature/"
+                             "greedy sampling only (v1)")
+        prompt_ids = list(prompt_ids)
+        if not prompt_ids:
+            raise ValueError("prompt must contain at least one token")
+        n = len(prompt_ids)
+        budget = self.max_seq - n
+        steps = budget if max_new_tokens is None else min(max_new_tokens,
+                                                          budget)
+        metrics = metrics if metrics is not None else GenerationMetrics()
+        metrics.prompt_tokens = n
+
+        bucket = next((b for b in self.prompt_buckets if n <= b), None)
+        if bucket is None:
+            raise ValueError(f"prompt length {n} exceeds the largest bucket "
+                             f"{self.prompt_buckets[-1]}")
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = prompt_ids
+        t0 = time.perf_counter()
+        cache_t, cache_d = self._new_caches()
+        lens = jnp.asarray([n], jnp.int32)
+        cache_t, logits = self._prefill_t(self.params, cache_t,
+                                          jnp.asarray(toks), lens)
+        cache_d, _ = self._prefill_d(self.draft_params, cache_d,
+                                     jnp.asarray(toks), lens)
+        key = jax.random.PRNGKey(sampling.seed)
+        key, sub = jax.random.split(key)
+        if sampling.greedy:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            tok = jax.random.categorical(
+                sub, logits.astype(jnp.float32) / sampling.temperature,
+                axis=-1).astype(jnp.int32)
+        first = int(tok[0])  # one sync — like the engine's first token
+        metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
+
+        stops = set(stop_tokens)
+        round_ = self._make_round(sampling.temperature)
+        carry = self._init_carry(cache_t, cache_d, tok, key)
+        t_decode = time.perf_counter()
+        pending = [first]
+        pending_ms = 0.0
+        emitted = 0
+        while True:
+            stopped = False
+            for t in pending:
+                if emitted >= steps or t in stops:
+                    stopped = True
+                    break
+                metrics.generated_tokens += 1
+                metrics.per_token_ms.append(pending_ms)
+                emitted += 1
+                yield t
+            if stopped or emitted >= steps:
+                break
+            t1 = time.perf_counter()
+            carry, emit, cnt = round_(self.params, self.draft_params, carry)
+            c = int(cnt[0])  # one sync per round
+            pending = [int(v) for v in np.asarray(emit)[0, :c]]
+            pending_ms = (time.perf_counter() - t1) * 1000.0 / max(c, 1)
+        metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
+
+    def generate_text(
+        self,
+        prompt: str,
+        encoder,
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        stream_to=None,
+        metrics=None,
+        stop_tokens: Sequence[int] = (),
+    ) -> str:
+        """Prompt string -> generated string, streaming per round."""
+        from zig_gpt2_tpu.runtime.engine import StreamDecoder
+
+        decoder = StreamDecoder(encoder)
+        pieces = []
+        for tok in self.generate_iter(encoder.encode(prompt), max_new_tokens,
+                                      sampling, stop_tokens, metrics=metrics):
+            text = decoder.push(tok)
+            if text:
+                pieces.append(text)
+                if stream_to is not None:
+                    stream_to.write(text)
+                    stream_to.flush()
+        tail = decoder.flush()
+        if tail:
+            pieces.append(tail)
+            if stream_to is not None:
+                stream_to.write(tail)
+                stream_to.flush()
+        return "".join(pieces)
 
     @property
     def acceptance_stats(self) -> Optional[dict]:
