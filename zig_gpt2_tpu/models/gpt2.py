@@ -915,26 +915,33 @@ def _block_extend(
     v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
 
+    # The window is CONTIGUOUS in S per lane, so each (H, T, D) block (or
+    # (H, T) scale plane) lands in ONE dynamic_update_slice per lane —
+    # not T row-appends (same per-batch unroll rule as _put_row_stacked:
+    # never vmap dus over a non-leading axis).
+    def put_window(stack, win):  # win: (B, H, T, ...) -> rows at base[b]
+        for i in range(win.shape[0]):
+            upd = win[i][None, None].astype(stack.dtype)
+            start = (idx, i, 0, base[i]) + (0,) * (stack.ndim - 4)
+            stack = jax.lax.dynamic_update_slice(stack, upd, start)
+        return stack
+
     caches = dict(caches)
     if "k_scale" in caches:  # INT8 cache: quantize the window on append
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
-        for t in range(T):
-            caches["k"] = _put_row_stacked(caches["k"], kq[:, :, t], idx, base + t)
-            caches["v"] = _put_row_stacked(caches["v"], vq[:, :, t], idx, base + t)
-            caches["k_scale"] = _put_scale_stacked(
-                caches["k_scale"], ks[:, :, t], idx, base + t)
-            caches["v_scale"] = _put_scale_stacked(
-                caches["v_scale"], vs[:, :, t], idx, base + t)
+        caches["k"] = put_window(caches["k"], kq)
+        caches["v"] = put_window(caches["v"], vq)
+        caches["k_scale"] = put_window(caches["k_scale"], ks)
+        caches["v_scale"] = put_window(caches["v_scale"], vs)
         kc = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(caches["k_scale"], idx, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(caches["v_scale"], idx, 0, keepdims=False)
         attn = ops.extend_attention_quant(q, kc, ksc, vc, vsc, base, valid)
     else:
-        for t in range(T):
-            caches["k"] = _put_row_stacked(caches["k"], k[:, :, t], idx, base + t)
-            caches["v"] = _put_row_stacked(caches["v"], v[:, :, t], idx, base + t)
+        caches["k"] = put_window(caches["k"], k)
+        caches["v"] = put_window(caches["v"], v)
         kc = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
         attn = ops.extend_attention(q, kc, vc, base, valid)
