@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-3 hardware measurement session: every pending A/B, serially (ONE
+# process may own the TPU), each under a timeout so a wedged tunnel cannot
+# eat the session. Appends to ABRUN.log. Run from the repo root:
+#   bash tools/ab/run_all.sh [quick]
+# "quick" = headline + wmm grid only (for a short tunnel window).
+set -u
+cd "$(dirname "$0")/../.."
+LOG=ABRUN.log
+say() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
+run() { # run <timeout_s> <label> <cmd...>
+  local t=$1 label=$2; shift 2
+  say "START $label: $*"
+  timeout "$t" "$@" 2>&1 | tail -20 | tee -a "$LOG"
+  say "END $label (rc=$?)"
+}
+
+say "probe"
+if ! timeout 90 python -c "import jax; d=jax.devices(); assert d[0].platform=='tpu'"; then
+  say "TPU unreachable — aborting"; exit 1
+fi
+
+# 1. Graded headline first (the single most important number), then the
+#    same-session OFF-baseline for attribution (VERDICT item 6).
+run 900 headline_HEAD python bench.py
+run 900 headline_no_wmm_no_packed env ZG2_WMM=0 ZG2_KV_PACKED=0 python bench.py
+
+if [ "${1:-}" = quick ]; then say "quick mode done"; exit 0; fi
+
+# 2. The three staged A/Bs.
+run 1200 ab_wmm python tools/ab/ab_wmm.py 124M 1
+run 2400 ab_packed python tools/ab/ab_packed.py 1558M 16 int4 int8
+run 1800 ab_step python tools/ab/ab_step.py 124M 1 int4 int8
+
+# 3. Flagship quantized decode + speculative A/B (124M int4 draft).
+run 2400 flagship python bench.py --model 1558M --quant int4 --kv-quant int8
+run 2400 flagship_b16 python bench.py --model 1558M --quant int4 --kv-quant int8 --batch 16
+run 3000 flagship_spec python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --speculative 124M --spec-quant int4 --spec-k 4
+run 3000 flagship_spec_k6 python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --speculative 124M --spec-quant int4 --spec-k 6
+
+# 4. Streaming + serve (VERDICT items 4-5 measurements).
+run 900 stream_chunk1 python bench.py --mode stream --stream-chunk 1 --steps 64
+run 900 stream_chunk8 python bench.py --mode stream --stream-chunk 8 --steps 64
+run 1800 serve16 python bench.py --mode serve --batch 16 --requests 64
+
+# 5. TPU-only kernel tests (native PRNG sampling).
+run 1200 tpu_tests env ZG2_TEST_TPU=1 python -m pytest tests/test_sampling_kernel.py -q
+
+say "ALL DONE"
