@@ -43,6 +43,7 @@ def main() -> None:
                    help="on-device decode steps per host sync (--mode serve)")
     p.add_argument("--speculative", default=None, metavar="DRAFT",
                    help="speculative decoding: DRAFT model name (e.g. 124M) "
+                        "— or 'ngram' for draft-free prompt lookup — "
                         "proposes --spec-k tokens per round, the --model "
                         "target verifies them in one multi-token pass "
                         "(runtime/speculative.py; --mode decode, no --mesh)")
@@ -115,12 +116,16 @@ def main() -> None:
             raise SystemExit("--speculative is --mode decode, no --mesh (v1)")
         from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
 
-        dconfig = get_config(args.speculative)
-        dparams = gpt2.init_params(dconfig, jax.random.PRNGKey(1), dtype=dtype)
-        if args.spec_quant:
-            from zig_gpt2_tpu.quant import quantize as q
+        if args.speculative == "ngram":
+            dconfig = dparams = None  # draft-free prompt lookup
+        else:
+            dconfig = get_config(args.speculative)
+            dparams = gpt2.init_params(dconfig, jax.random.PRNGKey(1),
+                                       dtype=dtype)
+            if args.spec_quant:
+                from zig_gpt2_tpu.quant import quantize as q
 
-            dparams = q.quantize_params(dparams, mode=args.spec_quant)
+                dparams = q.quantize_params(dparams, mode=args.spec_quant)
         spec = SpeculativeEngine(
             config, params, dconfig, dparams, k=args.spec_k,
             batch_size=args.batch, max_seq=args.prompt_len + args.steps,

@@ -109,3 +109,11 @@ def test_demo_speculative_metrics(capsys):
 def test_speculative_rejects_mesh():
     with pytest.raises(SystemExit):
         cli.main(["--demo", "--mesh", "1x8", "--draft-model", "demo", "x"])
+
+
+def test_demo_prompt_lookup_matches_plain_greedy(capsys):
+    cli.main(["--demo", "--max-tokens", "12", "--temp", "0", "abc def"])
+    want = capsys.readouterr().out
+    cli.main(["--demo", "--max-tokens", "12", "--temp", "0", "abc def",
+              "--draft-model", "ngram", "--spec-k", "3"])
+    assert capsys.readouterr().out == want

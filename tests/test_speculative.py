@@ -243,3 +243,57 @@ def test_generate_iter_stop_token(tparams, dparams):
                                   SamplingConfig(temperature=0.0),
                                   stop_tokens=[stop]))
     assert got == full[:full.index(stop)]
+
+
+# ---------------------------------------------------------------------------
+# prompt-lookup (draft-free) mode
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_greedy_parity(tparams):
+    B, P, S = 2, 8, 24
+    prompts = _prompts(B, P)
+    lens = [P, 5]
+    eng = InferenceEngine(TCFG, tparams, batch_size=B, max_seq=64,
+                          prompt_buckets=(P,))
+    ref = eng.generate_scan(prompts, lens, S, SamplingConfig(temperature=0.0))
+    spec = SpeculativeEngine(TCFG, tparams, k=3, batch_size=B, max_seq=64,
+                             prompt_buckets=(P,))
+    out = spec.generate_scan(prompts, lens, S,
+                             SamplingConfig(temperature=0.0))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_ngram_repetition_hits_ceiling():
+    """An unscaled random-init model collapses to a fixed point; prompt
+    lookup must ride the loop at full acceptance (cyclic continuation) —
+    the round count hits ceil(S / (k+1))."""
+    P, S, k = 8, 24, 4
+    tp = gpt2.init_params(TCFG, jax.random.PRNGKey(0), jnp.float32)
+    prompts = _prompts(1, P)
+    eng = InferenceEngine(TCFG, tp, batch_size=1, max_seq=64,
+                          prompt_buckets=(P,))
+    ref = eng.generate_scan(prompts, [P], S, SamplingConfig(temperature=0.0))
+    assert len(set(ref[0, 4:].tolist())) == 1  # stream really is a loop
+    spec = SpeculativeEngine(TCFG, tp, k=k, batch_size=1, max_seq=64,
+                             prompt_buckets=(P,))
+    out = spec.generate_scan(prompts, [P], S, SamplingConfig(temperature=0.0))
+    np.testing.assert_array_equal(out, ref)
+    assert spec.last_rounds == -(-S // (k + 1))
+
+
+def test_ngram_temperature_runs(tparams):
+    """Temperature mode with one-hot Q: runs, emits the full budget, and
+    differs across seeds (stochastic) — the exactness argument is the same
+    acceptance identity covered by test_temperature_matches_target_
+    distribution with q one-hot being a special case."""
+    P, S = 8, 16
+    prompts = _prompts(1, P)
+    spec = SpeculativeEngine(TCFG, tparams, k=3, batch_size=1, max_seq=64,
+                             prompt_buckets=(P,))
+    a = spec.generate_scan(prompts, [P], S, SamplingConfig(temperature=0.9,
+                                                           seed=0))
+    b = spec.generate_scan(prompts, [P], S, SamplingConfig(temperature=0.9,
+                                                           seed=1))
+    assert a.shape == b.shape == (1, S)
+    assert not np.array_equal(a, b)

@@ -60,11 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "CPU / batch)")
     p.add_argument("--draft-model", default=None, metavar="NAME",
                    help="speculative decoding: draft model config name "
-                        "(e.g. 124M). The draft proposes --spec-k tokens "
-                        "per round; the --model target verifies them in "
-                        "one pass (runtime/speculative.py). Single-prompt "
-                        "streaming only; temperature/greedy sampling; no "
-                        "--mesh")
+                        "(e.g. 124M), or 'ngram' for draft-free prompt "
+                        "lookup (proposals from the token history). The "
+                        "draft proposes --spec-k tokens per round; the "
+                        "--model target verifies them in one pass "
+                        "(runtime/speculative.py). Single-prompt streaming "
+                        "only; temperature/greedy sampling; no --mesh")
     p.add_argument("--draft-weights", default=None,
                    help="draft checkpoint (raw dir or .npz); --demo uses a "
                         "random draft")
@@ -226,7 +227,9 @@ def main(argv=None) -> None:
 
         if mesh is not None or args.batch_file is not None:
             sys.exit("error: --draft-model is single-prompt, no --mesh (v1)")
-        if args.demo:
+        if args.draft_model == "ngram":
+            draft_config = draft_params = None  # prompt lookup
+        elif args.demo:
             from zig_gpt2_tpu.config import GPTConfig
 
             draft_config = GPTConfig(vocab_size=config.vocab_size,
@@ -246,16 +249,15 @@ def main(argv=None) -> None:
             else:
                 draft_params = zio.load_gpt2_raw(args.draft_weights,
                                                  draft_config, dtype=dtype)
-        if args.draft_quant and "lm_head" not in draft_params:
+        if args.draft_quant and draft_params is not None \
+                and "lm_head" not in draft_params:
             from zig_gpt2_tpu.quant import quantize as q
 
             draft_params = q.quantize_params(draft_params,
                                              mode=args.draft_quant)
         spec = SpeculativeEngine(
             config, params, draft_config, draft_params, k=args.spec_k,
-            max_seq=args.max_seq or min(config.context_size,
-                                        draft_config.context_size),
-            kv_quant=kv_quant,
+            max_seq=args.max_seq, kv_quant=kv_quant,
         )
         metrics = GenerationMetrics()
         print(args.prompt, end="", flush=True)

@@ -33,6 +33,14 @@ Round invariants (per batch lane; all under one jitted lax.while_loop):
   - cache lengths rewind to M+1+a (rows past them are garbage that the next
     round's appends overwrite — the fixed-shape cache IS the rollback).
 
+Draft-free mode (PROMPT LOOKUP, ``draft_config=None``): proposals come
+from the token history instead of a model — continue the most recent
+earlier occurrence of the last n committed tokens, cyclically with the
+match's period (exact for repetition loops). The acceptance rule treats
+the deterministic proposal as a one-hot draft distribution, so exactness
+is preserved; a useless proposal just degrades to ~1 committed token per
+round at the cost of one extend vs one decode_step.
+
 Scope (v1): single-device, unpacked KV cache (``kv_packed`` is forced off —
 ``gpt2.extend`` is the plain-XLA multi-query path), temperature or greedy
 sampling (top-k/top-p would need the truncated distributions on both sides
@@ -82,25 +90,41 @@ class SpeculativeEngine:
         self,
         config: GPTConfig,
         params,
-        draft_config: GPTConfig,
-        draft_params,
+        draft_config: Optional[GPTConfig] = None,
+        draft_params=None,
         k: int = 4,
         batch_size: int = 1,
         max_seq: Optional[int] = None,
         prompt_buckets: Optional[Sequence[int]] = None,
         kv_quant: Optional[str] = None,
         draft_kv_quant: Optional[str] = None,
+        ngram: int = 2,
     ):
+        """Without a draft model (draft_config=None), proposals come from
+        PROMPT LOOKUP instead: the most recent earlier occurrence of the
+        last ``ngram`` committed tokens, continued for k tokens (a
+        device-side gather over the token history — zero extra model
+        FLOPs; the acceptance rule is unchanged with the proposal treated
+        as a one-hot draft distribution, so exactness is preserved and a
+        useless proposal just degrades to ~one committed token per round).
+        Wins on repetitive/quoting text; the only speculation available
+        when the target is already the smallest model of the family."""
         if k < 1:
             raise ValueError("k must be >= 1")
         self.config = _single_device_config(config)
-        self.draft_config = _single_device_config(draft_config)
         self.params = params
-        self.draft_params = draft_params
         self.k = k
         self.batch_size = batch_size
-        self.max_seq = max_seq or min(config.context_size,
-                                      draft_config.context_size)
+        self.ngram = None if draft_config is not None else max(int(ngram), 1)
+        if draft_config is not None:
+            self.draft_config = _single_device_config(draft_config)
+            self.draft_params = draft_params
+            self.max_seq = max_seq or min(config.context_size,
+                                          draft_config.context_size)
+        else:
+            self.draft_config = None
+            self.draft_params = None
+            self.max_seq = max_seq or config.context_size
         self.prompt_buckets = tuple(
             b for b in (prompt_buckets or (32, 128, 512, self.max_seq))
             if b <= self.max_seq
@@ -111,16 +135,20 @@ class SpeculativeEngine:
         # committed position before acceptance trims the length back.
         self._rows_t = self.max_seq + self.k + 1
         self._rows_d = self.max_seq + self.k + 1
+        # Token history capacity (prompt-lookup mode): committed tokens
+        # plus one round's k+1 emit slots of overwritable slack.
+        self._hist_cap = self.max_seq + self.k + 1
         self._fmt_t = cache_formats(jax.eval_shape(functools.partial(
             self._new_cache_shape, target=True)))
-        self._fmt_d = cache_formats(jax.eval_shape(functools.partial(
-            self._new_cache_shape, target=False)))
         self._prefill_t = jax.jit(
             functools.partial(gpt2.prefill, config=self.config),
             donate_argnums=(1,), out_shardings=(self._fmt_t, None))
-        self._prefill_d = jax.jit(
-            functools.partial(gpt2.prefill, config=self.draft_config),
-            donate_argnums=(1,), out_shardings=(self._fmt_d, None))
+        if self.ngram is None:
+            self._fmt_d = cache_formats(jax.eval_shape(functools.partial(
+                self._new_cache_shape, target=False)))
+            self._prefill_d = jax.jit(
+                functools.partial(gpt2.prefill, config=self.draft_config),
+                donate_argnums=(1,), out_shardings=(self._fmt_d, None))
         self._loops: Dict = {}
         self.last_rounds: Optional[int] = None  # acceptance telemetry
 
@@ -135,9 +163,12 @@ class SpeculativeEngine:
 
     def _new_caches(self):
         ct = self._new_cache_shape(True)
-        cd = self._new_cache_shape(False)
         if self._fmt_t is not None:
             ct = jax.tree.map(jax.device_put, ct, self._fmt_t)
+        if self.ngram is not None:
+            return ct, None
+        cd = self._new_cache_shape(False)
+        if self._fmt_t is not None:
             cd = jax.tree.map(jax.device_put, cd, self._fmt_d)
         return ct, cd
 
@@ -147,20 +178,19 @@ class SpeculativeEngine:
         """Build the ONE-round function shared by the on-device while_loop
         (generate_scan) and the streaming iterator (generate_iter):
         ``(params_t, params_d, carry) -> (carry', emit (B, k+1), n (B,))``
-        where carry = (cache_t, cache_d, tok, pend, pv, key) and the first
-        ``n[b]`` slots of ``emit[b]`` are this round's committed tokens."""
+        where carry = (cache_t, dstate, tok, key) — dstate is the draft
+        model's (cache_d, pend, pv), or (hist, hist_len) in prompt-lookup
+        mode — and the first ``n[b]`` slots of ``emit[b]`` are this
+        round's committed tokens."""
         k = self.k
         B = self.batch_size
         conf_t, conf_d = self.config, self.draft_config
         greedy = temperature == 0.0
+        ngram = self.ngram
 
-        def round_body(params_t, params_d, carry):
-            (cache_t, cache_d, tok, pend, pv, key) = carry
-            m_t = cache_t["length"]
-            m_d = cache_d["length"]
-            key, k_draft, k_acc, k_next = jax.random.split(key, 4)
-
+        def propose_draft(params_d, dstate, tok, k_draft):
             # ---- draft: catch-up extend (valid 1 or 2) + k-1 decode steps
+            cache_d, pend, pv = dstate
             w0 = jnp.where(pv, pend, tok)
             w1 = jnp.where(pv, tok, jnp.zeros_like(tok))
             wd = jnp.stack([w0, w1], axis=1)  # (B, 2)
@@ -188,6 +218,52 @@ class SpeculativeEngine:
                 if not greedy:
                     q_list.append(_probs(lg, temperature))
             ds = jnp.stack(d_list, axis=1)  # (B, k)
+            Q = None if greedy else jnp.stack(q_list, axis=1)
+            return (cache_d, pend, pv, vd), ds, Q
+
+        def propose_ngram(dstate, tok):
+            # ---- prompt lookup: continue the most recent earlier
+            # occurrence of the last `ngram` committed tokens. hist[:, :L]
+            # holds every committed token INCLUDING the unprocessed `tok`
+            # at L-1; slots beyond are stale emit slack (harmless: a
+            # garbage proposal is just rejected).
+            hist, hist_len = dstate
+            C = hist.shape[1]
+            pos = jnp.arange(C)[None, :]  # (1, C)
+            # match[b, j] = the ngram ENDING at j equals the one ending at
+            # L-1, for j <= L-2 (j indexes hist columns; j >= ngram-1).
+            match = jnp.ones((B, C), bool)
+            for o in range(ngram):
+                tail = jnp.take_along_axis(
+                    hist, (hist_len - 1 - o)[:, None], axis=1)  # (B, 1)
+                shifted = jnp.roll(hist, o, axis=1)  # hist[j-o] at col j
+                match &= shifted == tail
+            match &= (pos >= ngram - 1) & (pos <= (hist_len - 2)[:, None])
+            j = jnp.max(jnp.where(match, pos, -1), axis=1)  # (B,) last match
+            found = j >= 0
+            # Continue CYCLICALLY with the match's period p = (L-1) - j:
+            # a tail-adjacent match (the common case in a repetition loop)
+            # would otherwise run past the written history after p tokens;
+            # for a pure period-p loop the wrap is exactly right, and for
+            # a distant match (p >= k) it is plain continuation.
+            p = jnp.maximum((hist_len - 1) - j, 1)  # (B,)
+            offs = jnp.mod(jnp.arange(k)[None, :], p[:, None])  # (B, k)
+            idxs = jnp.minimum(j[:, None] + 1 + offs, C - 1)
+            props = jnp.take_along_axis(hist, idxs, axis=1)  # (B, k)
+            ds = jnp.where(found[:, None], props,
+                           jnp.broadcast_to(tok[:, None], (B, k)))
+            return ds
+
+        def round_body(params_t, params_d, carry):
+            (cache_t, dstate, tok, key) = carry
+            m_t = cache_t["length"]
+            key, k_draft, k_acc, k_next = jax.random.split(key, 4)
+
+            if ngram is None:
+                dmid, ds, Q = propose_draft(params_d, dstate, tok, k_draft)
+            else:
+                ds = propose_ngram(dstate, tok)
+                Q = None  # one-hot, built after the verify pass if needed
 
             # ---- target: one (k+1)-row verify extend
             wt = jnp.concatenate([tok[:, None], ds], axis=1)  # (B, k+1)
@@ -201,7 +277,10 @@ class SpeculativeEngine:
                 acc = tgt[:, :k] == ds  # (B, k)
             else:
                 P = _probs(lt, temperature)  # (B, k+1, V)
-                Q = jnp.stack(q_list, axis=1)  # (B, k, V)
+                if Q is None:  # prompt lookup: deterministic proposal =
+                    # one-hot draft distribution — accept iff u < p(d_i),
+                    # residual renormalizes P minus the proposal's mass.
+                    Q = jax.nn.one_hot(ds, P.shape[-1], dtype=P.dtype)
                 p_tok = jnp.take_along_axis(P[:, :k], ds[:, :, None], 2)[..., 0]
                 q_tok = jnp.take_along_axis(Q, ds[:, :, None], 2)[..., 0]
                 u = jax.random.uniform(k_acc, (B, k))
@@ -234,20 +313,50 @@ class SpeculativeEngine:
 
             # ---- rewind lengths to the committed prefix
             cache_t = dict(cache_t, length=m_t + 1 + a)
-            cache_d = dict(cache_d, length=jnp.minimum(m_t + 1 + a, m_d
-                                                       + vd + k - 1))
-            pv = a == k
-            pend = ds[:, k - 1]
+            if ngram is None:
+                cache_d, _pend, _pv, _vd = dmid
+                # cache_d["length"] is already the post-proposal row count
+                # (catch-up extend + k-1 steps); the committed prefix may
+                # be shorter (a < k) or one LONGER (a == k: d_k was never
+                # draft-processed — pend/pv carry it to the next round).
+                cache_d = dict(cache_d, length=jnp.minimum(
+                    m_t + 1 + a, cache_d["length"]))
+                dstate = (cache_d, ds[:, k - 1], a == k)
+            else:
+                # Append this round's committed tokens to the history at
+                # the pre-round end (emit slots beyond a are garbage that
+                # the next round's write overwrites — same scheme as the
+                # scan output buffer).
+                hist, hist_len = dstate
+                for b in range(B):
+                    hist = jax.lax.dynamic_update_slice(
+                        hist, emit[b][None], (b, hist_len[b]))
+                dstate = (hist, hist_len + a + 1)
             tok = nxt
-            return (cache_t, cache_d, tok, pend, pv, key), emit, a + 1
+            return (cache_t, dstate, tok, key), emit, a + 1
 
         return round_body
 
-    def _init_carry(self, cache_t, cache_d, tok, key):
+    def _init_carry(self, cache_t, dstate, tok, key):
+        return (cache_t, dstate, tok, key)
+
+    def _init_dstate(self, cache_d, prompts=None, lengths=None, tok=None):
+        """Draft mode: (cache_d, pend, pv). Prompt-lookup mode: the token
+        history seeded with the prompt and the prefill-sampled token."""
         B = self.batch_size
-        pend = jnp.zeros((B,), jnp.int32)
-        pv = jnp.zeros((B,), bool)
-        return (cache_t, cache_d, tok, pend, pv, key)
+        if self.ngram is None:
+            pend = jnp.zeros((B,), jnp.int32)
+            pv = jnp.zeros((B,), bool)
+            return (cache_d, pend, pv)
+        hist = jnp.zeros((B, self._hist_cap), jnp.int32)
+        T = min(prompts.shape[1], self._hist_cap)
+        hist = jax.lax.dynamic_update_slice(
+            hist, jnp.asarray(prompts, jnp.int32)[:, :T], (0, 0))
+        lens = jnp.asarray(lengths, jnp.int32)
+        for b in range(B):
+            hist = jax.lax.dynamic_update_slice(
+                hist, tok[b][None, None], (b, lens[b]))
+        return (hist, lens + 1)
 
     def _make_loop(self, steps: int, temperature: float):
         """(params_t, params_d, cache_t, cache_d, tok, key) ->
@@ -261,10 +370,10 @@ class SpeculativeEngine:
         cap = steps + self.k + 1
         round_body = self._round_fn(temperature)
 
-        def loop(params_t, params_d, cache_t, cache_d, tok, key):
+        def loop(params_t, params_d, cache_t, dstate, tok, key):
             buf = jnp.zeros((B, cap), jnp.int32)
             cursor = jnp.zeros((B,), jnp.int32)
-            carry = (self._init_carry(cache_t, cache_d, tok, key),
+            carry = (self._init_carry(cache_t, dstate, tok, key),
                      buf, cursor, jnp.zeros((), jnp.int32))
 
             def cond(c):
@@ -327,7 +436,9 @@ class SpeculativeEngine:
         toks = jnp.asarray(prompt_ids, jnp.int32)
         lens = jnp.asarray(lengths, jnp.int32)
         cache_t, logits = self._prefill_t(self.params, cache_t, toks, lens)
-        cache_d, _ = self._prefill_d(self.draft_params, cache_d, toks, lens)
+        if self.ngram is None:
+            cache_d, _ = self._prefill_d(self.draft_params, cache_d,
+                                         toks, lens)
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         if sampling.greedy:
@@ -336,9 +447,10 @@ class SpeculativeEngine:
             tok = jax.random.categorical(
                 sub, logits.astype(jnp.float32) / sampling.temperature,
                 axis=-1).astype(jnp.int32)
+        dstate = self._init_dstate(cache_d, toks, lens, tok)
         loop = self._make_loop(n_steps, sampling.temperature)
         buf, counts, rounds = loop(self.params, self.draft_params,
-                                   cache_t, cache_d, tok, key)
+                                   cache_t, dstate, tok, key)
         self.last_rounds = int(rounds)
         out = np.asarray(buf)[:, :n_steps]
         assert int(np.min(np.asarray(counts))) >= n_steps
@@ -387,8 +499,9 @@ class SpeculativeEngine:
         lens = jnp.asarray([n], jnp.int32)
         cache_t, logits = self._prefill_t(self.params, cache_t,
                                           jnp.asarray(toks), lens)
-        cache_d, _ = self._prefill_d(self.draft_params, cache_d,
-                                     jnp.asarray(toks), lens)
+        if self.ngram is None:
+            cache_d, _ = self._prefill_d(self.draft_params, cache_d,
+                                         jnp.asarray(toks), lens)
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         if sampling.greedy:
@@ -402,7 +515,8 @@ class SpeculativeEngine:
 
         stops = set(stop_tokens)
         round_ = self._make_round(sampling.temperature)
-        carry = self._init_carry(cache_t, cache_d, tok, key)
+        dstate = self._init_dstate(cache_d, jnp.asarray(toks), lens, tok)
+        carry = self._init_carry(cache_t, dstate, tok, key)
         t_decode = time.perf_counter()
         pending = [first]
         pending_ms = 0.0
