@@ -194,13 +194,52 @@ def test_temperature_matches_target_distribution():
     assert np.all(np.abs(emp - mix) < tol + 0.01), (emp, mix)
 
 
-def test_temperature_rejects_topk():
-    spec_args = (TCFG, _params(TCFG, 0), DCFG, _params(DCFG, 1))
-    spec = SpeculativeEngine(*spec_args, k=2, batch_size=1, max_seq=64,
-                             prompt_buckets=(8,))
-    with pytest.raises(ValueError):
-        spec.generate_scan(_prompts(1, 8), [8], 4,
-                           SamplingConfig(temperature=0.8, top_k=10))
+def test_topk_matches_target_distribution():
+    """top-k speculative sampling must equal the target's TRUNCATED law
+    (the same support mask is applied to p and q before the acceptance
+    test). Same mixture construction as the temperature test, with top_k
+    masking at every stage; also implicitly checks the mask composes with
+    the one-hot-Q ngram mode is NOT used here (draft mode)."""
+    from zig_gpt2_tpu.runtime.sampling import _mask_logits
+
+    vocab, top_k = 16, 4
+    tcfg = GPTConfig(vocab_size=vocab, context_size=32, n_layers=1,
+                     n_heads=2, n_embed=32)
+    tp = _params(tcfg, 2, scale=2.0)
+    dp = _params(tcfg, 3, scale=2.0)
+    P0 = 4
+    prompts = np.arange(P0, dtype=np.int32)[None] % vocab
+    temp = 0.9
+
+    def tprobs(lg):
+        return np.asarray(jax.nn.softmax(
+            _mask_logits(lg.astype(jnp.float32) / temp, top_k, None)))
+
+    cache = gpt2.init_kv_cache(tcfg, 1, 32)
+    cache, lg0 = gpt2.prefill(tp, cache, jnp.asarray(prompts),
+                              jnp.asarray([P0], jnp.int32), tcfg)
+    p_t0 = tprobs(lg0[0])
+    mix = np.zeros(vocab)
+    for t0 in range(vocab):
+        if p_t0[t0] == 0.0:
+            continue
+        c2, lg1 = gpt2.decode_step(tp, jax.tree.map(lambda x: x, cache),
+                                   jnp.asarray([t0], jnp.int32), tcfg)
+        mix += p_t0[t0] * tprobs(lg1[0])
+
+    spec = SpeculativeEngine(tcfg, tp, tcfg, dp, k=2, batch_size=1,
+                             max_seq=32, prompt_buckets=(P0,))
+    N = 2000
+    counts = np.zeros(vocab)
+    for seed in range(N):
+        s = SamplingConfig(temperature=temp, top_k=top_k, seed=seed)
+        out = spec.generate_scan(prompts, [P0], 1, s)
+        counts[int(out[0, 0])] += 1
+    emp = counts / N
+    # tokens outside every stage's top-k support must never appear
+    assert np.all(counts[mix == 0.0] == 0)
+    tol = 4 * np.sqrt(np.maximum(mix * (1 - mix), 1e-4) / N)
+    assert np.all(np.abs(emp - mix) < tol + 0.012), (emp, mix)
 
 
 # ---------------------------------------------------------------------------

@@ -32,13 +32,21 @@ run 1200 ab_wmm python tools/ab/ab_wmm.py 124M 1
 run 2400 ab_packed python tools/ab/ab_packed.py 1558M 16 int4 int8
 run 1800 ab_step python tools/ab/ab_step.py 124M 1 int4 int8
 
-# 3. Flagship quantized decode + speculative A/B (124M int4 draft).
+# 3. Flagship quantized decode + speculative A/B. NOTE: random weights make
+#    a model-draft's stream unrelated to the target's (acceptance ~0), so
+#    the HONEST hardware numbers are (a) ngram speculation — random models
+#    collapse to repetition loops, so the lookup really accepts — and
+#    (b) the mechanism cost: one model-draft run whose tokens_per_round ~1
+#    exposes the per-round overhead (round_cost = steps/tokens_per_round
+#    relative to the plain bench). Trained-weight speedups = PARITY-style
+#    extrapolation from these + literature acceptance rates.
 run 2400 flagship python bench.py --model 1558M --quant int4 --kv-quant int8
 run 2400 flagship_b16 python bench.py --model 1558M --quant int4 --kv-quant int8 --batch 16
-run 3000 flagship_spec python bench.py --model 1558M --quant int4 --kv-quant int8 \
+run 3000 flagship_spec_ngram python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --speculative ngram --spec-k 4
+run 3000 flagship_spec_draft python bench.py --model 1558M --quant int4 --kv-quant int8 \
     --speculative 124M --spec-quant int4 --spec-k 4
-run 3000 flagship_spec_k6 python bench.py --model 1558M --quant int4 --kv-quant int8 \
-    --speculative 124M --spec-quant int4 --spec-k 6
+run 1200 headline_spec_ngram python bench.py --speculative ngram --spec-k 4
 
 # 4. Streaming + serve (VERDICT items 4-5 measurements).
 run 900 stream_chunk1 python bench.py --mode stream --stream-chunk 1 --steps 64

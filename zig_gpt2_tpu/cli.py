@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "draft proposes --spec-k tokens per round; the "
                         "--model target verifies them in one pass "
                         "(runtime/speculative.py). Single-prompt streaming "
-                        "only; temperature/greedy sampling; no --mesh")
+                        "only; no --mesh")
     p.add_argument("--draft-weights", default=None,
                    help="draft checkpoint (raw dir or .npz); --demo uses a "
                         "random draft")

@@ -41,10 +41,13 @@ the deterministic proposal as a one-hot draft distribution, so exactness
 is preserved; a useless proposal just degrades to ~1 committed token per
 round at the cost of one extend vs one decode_step.
 
+top-k / top-p ride the same machinery: the support mask is applied to the
+logits on BOTH sides before softmax (the speculative identity holds for
+any (p, q) pair), so the output law is exactly the target's truncated
+sampling — matching InferenceEngine's semantics.
+
 Scope (v1): single-device, unpacked KV cache (``kv_packed`` is forced off —
-``gpt2.extend`` is the plain-XLA multi-query path), temperature or greedy
-sampling (top-k/top-p would need the truncated distributions on both sides
-of the acceptance test — rejected for now, not wired).
+``gpt2.extend`` is the plain-XLA multi-query path).
 """
 
 from __future__ import annotations
@@ -71,8 +74,23 @@ def _single_device_config(config: GPTConfig) -> GPTConfig:
     return config
 
 
-def _probs(logits: jax.Array, temperature: float) -> jax.Array:
-    return jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+def _scaled(logits: jax.Array, temperature: float,
+            top_k: Optional[int], top_p: Optional[float]) -> jax.Array:
+    """Temperature-scaled logits with the top-k / nucleus support mask
+    applied — the ACTUAL sampling distribution on both sides of the
+    acceptance test (the speculative identity holds for any (p, q) pair,
+    so truncated sampling stays exactly the target's truncated law)."""
+    from zig_gpt2_tpu.runtime.sampling import _mask_logits
+
+    return _mask_logits(logits.astype(jnp.float32) / temperature,
+                        top_k, top_p)
+
+
+def _probs(logits: jax.Array, temperature: float,
+           top_k: Optional[int] = None,
+           top_p: Optional[float] = None) -> jax.Array:
+    return jax.nn.softmax(_scaled(logits, temperature, top_k, top_p),
+                          axis=-1)
 
 
 class SpeculativeEngine:
@@ -174,7 +192,7 @@ class SpeculativeEngine:
 
     # -- the speculative round ------------------------------------------------
 
-    def _round_fn(self, temperature: float):
+    def _round_fn(self, temperature: float, top_k=None, top_p=None):
         """Build the ONE-round function shared by the on-device while_loop
         (generate_scan) and the streaming iterator (generate_iter):
         ``(params_t, params_d, carry) -> (carry', emit (B, k+1), n (B,))``
@@ -202,7 +220,7 @@ class SpeculativeEngine:
                 if greedy:
                     return jnp.argmax(lg, axis=-1).astype(jnp.int32)
                 return jax.random.categorical(
-                    kk, lg.astype(jnp.float32) / temperature, axis=-1
+                    kk, _scaled(lg, temperature, top_k, top_p), axis=-1
                 ).astype(jnp.int32)
 
             d_list, q_list = [], []
@@ -210,13 +228,13 @@ class SpeculativeEngine:
             d = draft_sample(lg, dkeys[0])
             d_list.append(d)
             if not greedy:
-                q_list.append(_probs(lg, temperature))
+                q_list.append(_probs(lg, temperature, top_k, top_p))
             for i in range(1, k):
                 cache_d, lg = gpt2.decode_step(params_d, cache_d, d, conf_d)
                 d = draft_sample(lg, dkeys[i])
                 d_list.append(d)
                 if not greedy:
-                    q_list.append(_probs(lg, temperature))
+                    q_list.append(_probs(lg, temperature, top_k, top_p))
             ds = jnp.stack(d_list, axis=1)  # (B, k)
             Q = None if greedy else jnp.stack(q_list, axis=1)
             return (cache_d, pend, pv, vd), ds, Q
@@ -276,7 +294,7 @@ class SpeculativeEngine:
                 tgt = jnp.argmax(lt, axis=-1).astype(jnp.int32)  # (B, k+1)
                 acc = tgt[:, :k] == ds  # (B, k)
             else:
-                P = _probs(lt, temperature)  # (B, k+1, V)
+                P = _probs(lt, temperature, top_k, top_p)  # (B, k+1, V)
                 if Q is None:  # prompt lookup: deterministic proposal =
                     # one-hot draft distribution — accept iff u < p(d_i),
                     # residual renormalizes P minus the proposal's mass.
@@ -358,17 +376,18 @@ class SpeculativeEngine:
                 hist, tok[b][None, None], (b, lens[b]))
         return (hist, lens + 1)
 
-    def _make_loop(self, steps: int, temperature: float):
+    def _make_loop(self, steps: int, temperature: float, top_k=None,
+                   top_p=None):
         """(params_t, params_d, cache_t, cache_d, tok, key) ->
         (buf (B, steps+k+1), counts (B,), rounds) — the whole round loop on
         device (generate_scan / bench path)."""
-        key_ = ("loop", steps, temperature)
+        key_ = ("loop", steps, temperature, top_k, top_p)
         hit = self._loops.get(key_)
         if hit is not None:
             return hit
         B = self.batch_size
         cap = steps + self.k + 1
-        round_body = self._round_fn(temperature)
+        round_body = self._round_fn(temperature, top_k, top_p)
 
         def loop(params_t, params_d, cache_t, dstate, tok, key):
             buf = jnp.zeros((B, cap), jnp.int32)
@@ -397,16 +416,17 @@ class SpeculativeEngine:
         self._loops[key_] = fn
         return fn
 
-    def _make_round(self, temperature: float):
+    def _make_round(self, temperature: float, top_k=None, top_p=None):
         """The jitted single round for host-streaming: carry in, carry out,
         plus this round's (B, k+1) tokens and per-lane counts — ONE host
         sync delivers up to k+1 tokens (the speculative analogue of the
         engine's chunked streaming)."""
-        key_ = ("round", temperature)
+        key_ = ("round", temperature, top_k, top_p)
         hit = self._loops.get(key_)
         if hit is not None:
             return hit
-        fn = jax.jit(self._round_fn(temperature), donate_argnums=(2,))
+        fn = jax.jit(self._round_fn(temperature, top_k, top_p),
+                     donate_argnums=(2,))
         self._loops[key_] = fn
         return fn
 
@@ -423,9 +443,6 @@ class SpeculativeEngine:
         Same contract as InferenceEngine.generate_scan: (B, T) padded
         prompts + true lengths -> (B, n_steps) generated ids (the token
         sampled from the prefill logits is consumed, not emitted)."""
-        if sampling.top_k is not None or sampling.top_p is not None:
-            raise ValueError("speculative decoding supports temperature/"
-                             "greedy sampling only (v1)")
         prompt_ids = np.asarray(prompt_ids)
         if prompt_ids.shape[0] != self.batch_size:
             raise ValueError(f"batch {prompt_ids.shape[0]} != engine "
@@ -445,10 +462,11 @@ class SpeculativeEngine:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
             tok = jax.random.categorical(
-                sub, logits.astype(jnp.float32) / sampling.temperature,
-                axis=-1).astype(jnp.int32)
+                sub, _scaled(logits, sampling.temperature, sampling.top_k,
+                             sampling.top_p), axis=-1).astype(jnp.int32)
         dstate = self._init_dstate(cache_d, toks, lens, tok)
-        loop = self._make_loop(n_steps, sampling.temperature)
+        loop = self._make_loop(n_steps, sampling.temperature,
+                               sampling.top_k, sampling.top_p)
         buf, counts, rounds = loop(self.params, self.draft_params,
                                    cache_t, dstate, tok, key)
         self.last_rounds = int(rounds)
@@ -475,9 +493,6 @@ class SpeculativeEngine:
 
         if self.batch_size != 1:
             raise ValueError("generate_iter is single-sequence")
-        if sampling.top_k is not None or sampling.top_p is not None:
-            raise ValueError("speculative decoding supports temperature/"
-                             "greedy sampling only (v1)")
         prompt_ids = list(prompt_ids)
         if not prompt_ids:
             raise ValueError("prompt must contain at least one token")
@@ -508,13 +523,14 @@ class SpeculativeEngine:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
             tok = jax.random.categorical(
-                sub, logits.astype(jnp.float32) / sampling.temperature,
-                axis=-1).astype(jnp.int32)
+                sub, _scaled(logits, sampling.temperature, sampling.top_k,
+                             sampling.top_p), axis=-1).astype(jnp.int32)
         first = int(tok[0])  # one sync — like the engine's first token
         metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
         stops = set(stop_tokens)
-        round_ = self._make_round(sampling.temperature)
+        round_ = self._make_round(sampling.temperature, sampling.top_k,
+                                  sampling.top_p)
         dstate = self._init_dstate(cache_d, jnp.asarray(toks), lens, tok)
         carry = self._init_carry(cache_t, dstate, tok, key)
         t_decode = time.perf_counter()
