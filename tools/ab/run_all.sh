@@ -12,7 +12,8 @@ run() { # run <timeout_s> <label> <cmd...>
   local t=$1 label=$2; shift 2
   say "START $label: $*"
   timeout "$t" "$@" 2>&1 | tail -20 | tee -a "$LOG"
-  say "END $label (rc=$?)"
+  local rc=${PIPESTATUS[0]}  # the command's status, not tee's
+  say "END $label (rc=$rc)"
 }
 
 say "probe"

@@ -2,11 +2,16 @@
 the TARGET model verifies all of them in ONE multi-token ``gpt2.extend``
 pass and keeps the longest accepted prefix (+1 token sampled from its own
 distribution). Output tokens are distributed EXACTLY as target-alone
-decoding — greedy speculative decode is bit-identical to the target's
-greedy stream, and temperature sampling uses the standard accept /
+decoding — greedy speculative decode reproduces the target's greedy
+stream, and temperature sampling uses the standard accept /
 residual-resample construction (Leviathan et al. 2023; Chen et al. 2023 —
 see PAPERS.md), whose acceptance test makes the marginal law of every
-emitted token equal the target's.
+emitted token equal the target's. (Bit-identity holds when verify and
+decode compute numerically identical logits — pinned on CPU by the test
+suite. On TPU the verify pass is a DIFFERENT numerical program — plain-XLA
+extend_attention over an unpacked cache vs the fused packed decode kernel
+— so an argmax near-tie can legitimately pick the other token; the
+distributions are the same, the bits may not be.)
 
 Why this wins on TPU at B=1: the decode GEMVs are weight-streaming bound
 (BENCHMARKS.md perf model — the MXU weight-load rate, ~480 Gelem/s,
@@ -129,6 +134,14 @@ class SpeculativeEngine:
         when the target is already the smallest model of the family."""
         if k < 1:
             raise ValueError("k must be >= 1")
+        if batch_size * (k + 1) > 64:
+            # Past 64 rows the verify window falls off the stacked GEMV
+            # kernels onto the per-layer weight-slice fallback (the ~135
+            # GB/s materialization path — CLAUDE.md invariants). Specu-
+            # lation is a small-batch latency feature; refuse loudly.
+            raise ValueError(
+                f"batch_size*(k+1) = {batch_size * (k + 1)} exceeds the "
+                "64-row stacked-GEMV kernel bound — lower k or batch_size")
         self.config = _single_device_config(config)
         self.params = params
         self.k = k
@@ -186,7 +199,7 @@ class SpeculativeEngine:
         if self.ngram is not None:
             return ct, None
         cd = self._new_cache_shape(False)
-        if self._fmt_t is not None:
+        if self._fmt_d is not None:
             cd = jax.tree.map(jax.device_put, cd, self._fmt_d)
         return ct, cd
 
@@ -430,6 +443,27 @@ class SpeculativeEngine:
         self._loops[key_] = fn
         return fn
 
+    def _prefill_and_sample(self, toks, lens, sampling: SamplingConfig):
+        """Shared generation prologue: fresh caches, target (+draft)
+        prefill, the first token sampled from the target's prefill logits
+        (greedy or truncated-temperature — the engine's convention), and
+        the initialized draft state. Returns (cache_t, dstate, tok, key)."""
+        cache_t, cache_d = self._new_caches()
+        cache_t, logits = self._prefill_t(self.params, cache_t, toks, lens)
+        if self.ngram is None:
+            cache_d, _ = self._prefill_d(self.draft_params, cache_d,
+                                         toks, lens)
+        key = jax.random.PRNGKey(sampling.seed)
+        key, sub = jax.random.split(key)
+        if sampling.greedy:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            tok = jax.random.categorical(
+                sub, _scaled(logits, sampling.temperature, sampling.top_k,
+                             sampling.top_p), axis=-1).astype(jnp.int32)
+        dstate = self._init_dstate(cache_d, toks, lens, tok)
+        return cache_t, dstate, tok, key
+
     # -- public API -----------------------------------------------------------
 
     def generate_scan(
@@ -449,22 +483,10 @@ class SpeculativeEngine:
                              f"batch_size {self.batch_size}")
         if max(lengths) + n_steps > self.max_seq:
             raise ValueError("prompt + n_steps exceeds max_seq")
-        cache_t, cache_d = self._new_caches()
         toks = jnp.asarray(prompt_ids, jnp.int32)
         lens = jnp.asarray(lengths, jnp.int32)
-        cache_t, logits = self._prefill_t(self.params, cache_t, toks, lens)
-        if self.ngram is None:
-            cache_d, _ = self._prefill_d(self.draft_params, cache_d,
-                                         toks, lens)
-        key = jax.random.PRNGKey(sampling.seed)
-        key, sub = jax.random.split(key)
-        if sampling.greedy:
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        else:
-            tok = jax.random.categorical(
-                sub, _scaled(logits, sampling.temperature, sampling.top_k,
-                             sampling.top_p), axis=-1).astype(jnp.int32)
-        dstate = self._init_dstate(cache_d, toks, lens, tok)
+        cache_t, dstate, tok, key = self._prefill_and_sample(
+            toks, lens, sampling)
         loop = self._make_loop(n_steps, sampling.temperature,
                                sampling.top_k, sampling.top_p)
         buf, counts, rounds = loop(self.params, self.draft_params,
@@ -510,28 +532,14 @@ class SpeculativeEngine:
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = prompt_ids
         t0 = time.perf_counter()
-        cache_t, cache_d = self._new_caches()
-        lens = jnp.asarray([n], jnp.int32)
-        cache_t, logits = self._prefill_t(self.params, cache_t,
-                                          jnp.asarray(toks), lens)
-        if self.ngram is None:
-            cache_d, _ = self._prefill_d(self.draft_params, cache_d,
-                                         jnp.asarray(toks), lens)
-        key = jax.random.PRNGKey(sampling.seed)
-        key, sub = jax.random.split(key)
-        if sampling.greedy:
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        else:
-            tok = jax.random.categorical(
-                sub, _scaled(logits, sampling.temperature, sampling.top_k,
-                             sampling.top_p), axis=-1).astype(jnp.int32)
+        cache_t, dstate, tok, key = self._prefill_and_sample(
+            jnp.asarray(toks), jnp.asarray([n], jnp.int32), sampling)
         first = int(tok[0])  # one sync — like the engine's first token
         metrics.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
         stops = set(stop_tokens)
         round_ = self._make_round(sampling.temperature, sampling.top_k,
                                   sampling.top_p)
-        dstate = self._init_dstate(cache_d, jnp.asarray(toks), lens, tok)
         carry = self._init_carry(cache_t, dstate, tok, key)
         t_decode = time.perf_counter()
         pending = [first]
@@ -551,8 +559,11 @@ class SpeculativeEngine:
                 break
             t1 = time.perf_counter()
             carry, emit, cnt = round_(self.params, self.draft_params, carry)
-            c = int(cnt[0])  # one sync per round
-            pending = [int(v) for v in np.asarray(emit)[0, :c]]
+            # ONE host transfer for both arrays (each dispatched fetch
+            # costs a full ~35 ms tunnel round-trip on its own).
+            emit_np, cnt_np = jax.device_get((emit, cnt))
+            c = int(cnt_np[0])
+            pending = [int(v) for v in emit_np[0, :c]]
             pending_ms = (time.perf_counter() - t1) * 1000.0 / max(c, 1)
         metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
 
