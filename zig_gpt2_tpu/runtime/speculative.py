@@ -4,9 +4,10 @@ pass and keeps the longest accepted prefix (+1 token sampled from its own
 distribution). Output tokens are distributed EXACTLY as target-alone
 decoding — greedy speculative decode reproduces the target's greedy
 stream, and temperature sampling uses the standard accept /
-residual-resample construction (Leviathan et al. 2023; Chen et al. 2023 —
-see PAPERS.md), whose acceptance test makes the marginal law of every
-emitted token equal the target's. (Bit-identity holds when verify and
+residual-resample construction ("Fast Inference from Transformers via
+Speculative Decoding", Leviathan et al. 2023; "Accelerating LLM Decoding
+with Speculative Sampling", Chen et al. 2023), whose acceptance test makes
+the marginal law of every emitted token equal the target's. (Bit-identity holds when verify and
 decode compute numerically identical logits — pinned on CPU by the test
 suite. On TPU the verify pass is a DIFFERENT numerical program — plain-XLA
 extend_attention over an unpacked cache vs the fused packed decode kernel
