@@ -568,6 +568,20 @@ class SpeculativeEngine:
             pending_ms = (time.perf_counter() - t1) * 1000.0 / max(c, 1)
         metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
 
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+        stop_tokens: Sequence[int] = (),
+        metrics=None,
+    ):
+        """Collect generate_iter into a list (InferenceEngine.generate's
+        contract, sans the on_token callback — iterate generate_iter for
+        streaming)."""
+        return list(self.generate_iter(prompt_ids, max_new_tokens, sampling,
+                                       stop_tokens, metrics=metrics))
+
     def generate_text(
         self,
         prompt: str,
