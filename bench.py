@@ -52,6 +52,8 @@ def main() -> None:
     p.add_argument("--spec-quant", default=None,
                    choices=["int8", "int4"],
                    help="weight quantization for the DRAFT model")
+    p.add_argument("--spec-kv-quant", default=None, choices=["int8"],
+                   help="KV-cache quantization for the DRAFT model")
     p.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="run sharded over a (data, model) mesh, e.g. 1x8 — "
                         "the scaling benchmark (BENCHMARKS.md); requires "
@@ -130,6 +132,7 @@ def main() -> None:
             config, params, dconfig, dparams, k=args.spec_k,
             batch_size=args.batch, max_seq=args.prompt_len + args.steps,
             prompt_buckets=(args.prompt_len,), kv_quant=args.kv_quant,
+            draft_kv_quant=args.spec_kv_quant,
         )
         sampling = SamplingConfig(temperature=0.8, seed=0)
         rng = np.random.default_rng(0)

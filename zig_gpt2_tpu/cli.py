@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "random draft")
     p.add_argument("--draft-quant", default=None, choices=["int8", "int4"],
                    help="quantize the draft model's weights")
+    p.add_argument("--draft-kv-quant", action="store_true",
+                   help="INT8 KV cache for the draft model")
     p.add_argument("--spec-k", type=int, default=4,
                    help="draft tokens per speculative round")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -258,6 +260,7 @@ def main(argv=None) -> None:
         spec = SpeculativeEngine(
             config, params, draft_config, draft_params, k=args.spec_k,
             max_seq=args.max_seq, kv_quant=kv_quant,
+            draft_kv_quant="int8" if args.draft_kv_quant else None,
         )
         metrics = GenerationMetrics()
         print(args.prompt, end="", flush=True)
