@@ -25,6 +25,7 @@ fi
 #    same-session OFF-baseline for attribution (VERDICT item 6).
 run 900 headline_HEAD python bench.py
 run 900 headline_no_wmm_no_packed env ZG2_WMM=0 ZG2_KV_PACKED=0 python bench.py
+run 900 headline_unroll12 env ZG2_DECODE_UNROLL=12 python bench.py
 
 if [ "${1:-}" = quick ]; then say "quick mode done"; exit 0; fi
 
