@@ -114,8 +114,9 @@ def main() -> None:
         config = dataclasses.replace(config, act_quant=True)
 
     if args.speculative:
-        if args.mesh or args.mode != "decode":
-            raise SystemExit("--speculative is --mode decode, no --mesh (v1)")
+        if args.mesh or args.mode not in ("decode", "stream"):
+            raise SystemExit("--speculative is --mode decode/stream, "
+                             "no --mesh (v1)")
         from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
 
         if args.speculative == "ngram":
@@ -139,6 +140,40 @@ def main() -> None:
         prompts = rng.integers(0, config.vocab_size,
                                (args.batch, args.prompt_len)).astype(np.int32)
         lengths = [args.prompt_len] * args.batch
+
+        if args.mode == "stream":
+            # Host-visible speculative streaming: one sync per ROUND (the
+            # speculative analogue of --stream-chunk; on a tunneled chip
+            # each sync costs ~35 ms, amortized over the accepted tokens).
+            if args.batch != 1:
+                raise SystemExit("--mode stream is single-sequence")
+            from zig_gpt2_tpu.runtime.engine import GenerationMetrics
+
+            ids = list(prompts[0])
+
+            def run_stream():
+                m = GenerationMetrics()
+                out = list(spec.generate_iter(ids, args.steps, sampling,
+                                              metrics=m))
+                assert len(out) == args.steps
+                return m
+
+            run_stream()  # warmup/compile
+            best = 0.0
+            for _ in range(args.repeats):
+                best = max(best, run_stream().tokens_per_sec)
+            print(json.dumps({
+                "metric": f"gpt2_{args.model}_{args.dtype}"
+                + (f"_{args.quant}" if args.quant else "")
+                + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+                + f"_spec{args.speculative}_k{args.spec_k}"
+                + "_stream_tokens_per_sec",
+                "value": round(best, 2),
+                "unit": "tokens/sec",
+                "vs_baseline": round(best / (1000.0 / 28.0), 2),
+            }))
+            return
+
         spec.generate_scan(prompts, lengths, args.steps, sampling)  # compile
         best, rounds = float("inf"), None
         for _ in range(args.repeats):

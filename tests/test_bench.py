@@ -76,3 +76,10 @@ def test_speculative_mode(capsys):
                   "--spec-quant", "int8")
     assert m["value"] > 0 and "specnano_k2" in m["metric"]
     assert m["tokens_per_round"] > 0
+
+
+def test_speculative_stream_mode(capsys):
+    m = run_bench(capsys, "--model", "nano", "--speculative", "ngram",
+                  "--mode", "stream", "--spec-k", "2", "--batch", "1",
+                  "--prompt-len", "8", "--steps", "5", "--repeats", "1")
+    assert m["value"] > 0 and "specngram_k2_stream" in m["metric"]
