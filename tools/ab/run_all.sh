@@ -53,6 +53,7 @@ run 1200 headline_spec_ngram python bench.py --speculative ngram --spec-k 4
 # 4. Streaming + serve (VERDICT items 4-5 measurements).
 run 900 stream_chunk1 python bench.py --mode stream --stream-chunk 1 --steps 64
 run 900 stream_chunk8 python bench.py --mode stream --stream-chunk 8 --steps 64
+run 900 stream_spec_ngram python bench.py --mode stream --speculative ngram --spec-k 4 --steps 64
 run 1800 serve16 python bench.py --mode serve --batch 16 --requests 64
 
 # 5. TPU-only kernel tests (native PRNG sampling).
