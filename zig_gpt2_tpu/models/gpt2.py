@@ -462,7 +462,8 @@ def _row_linear_manual(
 
             x2, scale = int4_row_shard_slices(xg, scale, tp, ax)
         n = qw.shape[-1]
-        if jax.default_backend() == "tpu" and rows <= 64:
+        if (jax.default_backend() == "tpu" and rows <= 64
+                and os.environ.get("ZG2_QMM", "1") != "0"):
             from zig_gpt2_tpu.quant import kernels
 
             y = kernels.qmm(x2, qw, scale, int4=int4, layer=idx,
@@ -515,7 +516,10 @@ def _linear_at(
     if quantized and rows <= 64:
         int4 = "qw4" in p
         qw = p["qw4"] if int4 else p["qw"]
-        if jax.default_backend() == "tpu" and not config.spmd:
+        # ZG2_QMM=0: on-chip debug escape to the jnp dequant fallback
+        # (mirrors ZG2_WMM — triage knob for tunnel sessions).
+        if (jax.default_backend() == "tpu" and not config.spmd
+                and os.environ.get("ZG2_QMM", "1") != "0"):
             from zig_gpt2_tpu.quant import kernels
 
             x2 = x.reshape(rows, x.shape[-1])
