@@ -159,9 +159,11 @@ def main() -> None:
                 return m
 
             run_stream()  # warmup/compile
-            best = 0.0
+            best, rounds = 0.0, None
             for _ in range(args.repeats):
-                best = max(best, run_stream().tokens_per_sec)
+                tps = run_stream().tokens_per_sec
+                if tps > best:
+                    best, rounds = tps, spec.last_rounds
             print(json.dumps({
                 "metric": f"gpt2_{args.model}_{args.dtype}"
                 + (f"_{args.quant}" if args.quant else "")
@@ -171,6 +173,7 @@ def main() -> None:
                 "value": round(best, 2),
                 "unit": "tokens/sec",
                 "vs_baseline": round(best / (1000.0 / 28.0), 2),
+                "tokens_per_round": round(args.steps / max(rounds or 1, 1), 2),
             }))
             return
 

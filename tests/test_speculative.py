@@ -123,9 +123,12 @@ def test_self_draft_accepts_everything(tparams):
     assert spec.last_rounds == -(-S // (k + 1))
 
 
-def test_greedy_parity_quantized(tparams, dparams):
+@pytest.mark.parametrize("draft_kv", [None, "int8"])
+def test_greedy_parity_quantized(tparams, dparams, draft_kv):
     """INT8-quantized target weights + INT8 KV caches through the extend
-    path: speculative greedy still matches the (same-quantized) engine."""
+    path (and optionally an INT8 DRAFT cache — the catch-up extend's
+    quantize-on-append): speculative greedy still matches the
+    (same-quantized) engine."""
     from zig_gpt2_tpu.quant import quantize as q
 
     B, P, S = 2, 8, 16
@@ -137,7 +140,7 @@ def test_greedy_parity_quantized(tparams, dparams):
     ref = eng.generate_scan(prompts, lens, S, SamplingConfig(temperature=0.0))
     spec = SpeculativeEngine(TCFG, tq, DCFG, dparams, k=3, batch_size=B,
                              max_seq=64, prompt_buckets=(P,),
-                             kv_quant="int8")
+                             kv_quant="int8", draft_kv_quant=draft_kv)
     out = spec.generate_scan(prompts, lens, S,
                              SamplingConfig(temperature=0.0))
     np.testing.assert_array_equal(out, ref)

@@ -113,6 +113,34 @@ class GenerationMetrics:
         return float(np.percentile(self.per_token_ms, q))
 
 
+def _drain_stream(first: int, steps: int, stops, metrics: GenerationMetrics,
+                  fetch: Callable[[], List[int]], first_ms: float = 0.0):
+    """The shared streaming drain loop (engine chunked path + speculative
+    generate_iter — one copy so their visible semantics cannot diverge):
+    yield tokens batch by batch, enforcing the step budget and the stop
+    set at token granularity (the stop token itself is not yielded,
+    overshoot past the budget is discarded). ``fetch()`` returns the next
+    batch from ONE device round-trip; each batch's wall time is amortized
+    over its tokens into metrics.per_token_ms (recorded only for YIELDED
+    tokens, so percentiles track generated_tokens)."""
+    pending = [first]
+    pending_ms = first_ms
+    emitted = 0
+    while True:
+        for t in pending:
+            if emitted >= steps or t in stops:
+                return
+            metrics.generated_tokens += 1
+            metrics.per_token_ms.append(pending_ms)
+            emitted += 1
+            yield t
+        if emitted >= steps:
+            return
+        t1 = time.perf_counter()
+        pending = fetch()
+        pending_ms = (time.perf_counter() - t1) * 1000.0 / max(len(pending), 1)
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -392,30 +420,18 @@ class InferenceEngine:
         runner = self._make_chunk(self.decode_chunk, sampling.temperature,
                                   sampling.top_k, sampling.top_p)
         t1 = time.perf_counter()
-        pending = [int(token[0])]  # the first sampled token (one sync)
-        pending_ms = (time.perf_counter() - t1) * 1000.0
-        emitted = 0
-        while True:
-            stopped = False
-            for t in pending:
-                if emitted >= steps or t in stops:
-                    stopped = True
-                    break
-                metrics.generated_tokens += 1
-                # Per-token cost of the chunk that produced this token —
-                # recorded only for YIELDED tokens (overshoot steps would
-                # otherwise skew the percentiles; len(per_token_ms) must
-                # track generated_tokens).
-                metrics.per_token_ms.append(pending_ms)
-                emitted += 1
-                yield t
-            if stopped or emitted >= steps:
-                break
-            t1 = time.perf_counter()
-            cache, toks, token, key = runner(self.params, cache, token, key)
-            arr = np.asarray(toks)[:, 0]  # (chunk,) — the one sync per chunk
-            pending_ms = (time.perf_counter() - t1) * 1000.0 / len(arr)
-            pending = [int(v) for v in arr]
+        first = int(token[0])  # the first sampled token (one sync)
+        first_ms = (time.perf_counter() - t1) * 1000.0
+        state = {"cache": cache, "token": token, "key": key}
+
+        def fetch():
+            state["cache"], toks, state["token"], state["key"] = runner(
+                self.params, state["cache"], state["token"], state["key"])
+            arr = np.asarray(toks)[:, 0]  # (chunk,) — one sync per chunk
+            return [int(v) for v in arr]
+
+        yield from _drain_stream(first, steps, stops, metrics, fetch,
+                                 first_ms=first_ms)
         metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
 
     def generate_text(

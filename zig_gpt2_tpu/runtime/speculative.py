@@ -369,8 +369,19 @@ class SpeculativeEngine:
 
         return round_body
 
-    def _init_carry(self, cache_t, dstate, tok, key):
-        return (cache_t, dstate, tok, key)
+    def _carry_fmt(self):
+        """out_shardings pytree pinning the carry's KV-cache leaves to
+        their boundary Formats (engine.cache_formats: the default D-minor
+        layout). The per-round streaming jit crosses the host boundary
+        EVERY round with both caches in the carry — without the pin XLA
+        may pick an S-minor entry/exit layout and relayout-copy the full
+        caches each round (the measured 47%-of-step trap the engine's
+        decode jits all pin against). None (unconstrained) off-TPU."""
+        if self._fmt_t is None:
+            return None
+        dfmt = (None, None) if self.ngram is not None else (
+            self._fmt_d, None, None)
+        return (self._fmt_t, dfmt, None, None)
 
     def _init_dstate(self, cache_d, prompts=None, lengths=None, tok=None):
         """Draft mode: (cache_d, pend, pv). Prompt-lookup mode: the token
@@ -406,7 +417,7 @@ class SpeculativeEngine:
         def loop(params_t, params_d, cache_t, dstate, tok, key):
             buf = jnp.zeros((B, cap), jnp.int32)
             cursor = jnp.zeros((B,), jnp.int32)
-            carry = (self._init_carry(cache_t, dstate, tok, key),
+            carry = ((cache_t, dstate, tok, key),
                      buf, cursor, jnp.zeros((), jnp.int32))
 
             def cond(c):
@@ -440,7 +451,8 @@ class SpeculativeEngine:
         if hit is not None:
             return hit
         fn = jax.jit(self._round_fn(temperature, top_k, top_p),
-                     donate_argnums=(2,))
+                     donate_argnums=(2,),
+                     out_shardings=(self._carry_fmt(), None, None))
         self._loops[key_] = fn
         return fn
 
@@ -512,7 +524,8 @@ class SpeculativeEngine:
         round and overshoot is discarded."""
         import time
 
-        from zig_gpt2_tpu.runtime.engine import GenerationMetrics
+        from zig_gpt2_tpu.runtime.engine import (GenerationMetrics,
+                                                 _drain_stream)
 
         if self.batch_size != 1:
             raise ValueError("generate_iter is single-sequence")
@@ -541,31 +554,22 @@ class SpeculativeEngine:
         stops = set(stop_tokens)
         round_ = self._make_round(sampling.temperature, sampling.top_k,
                                   sampling.top_p)
-        carry = self._init_carry(cache_t, dstate, tok, key)
-        t_decode = time.perf_counter()
-        pending = [first]
-        pending_ms = 0.0
-        emitted = 0
-        while True:
-            stopped = False
-            for t in pending:
-                if emitted >= steps or t in stops:
-                    stopped = True
-                    break
-                metrics.generated_tokens += 1
-                metrics.per_token_ms.append(pending_ms)
-                emitted += 1
-                yield t
-            if stopped or emitted >= steps:
-                break
-            t1 = time.perf_counter()
-            carry, emit, cnt = round_(self.params, self.draft_params, carry)
+        state = {"carry": (cache_t, dstate, tok, key), "rounds": 0}
+
+        def fetch():
+            carry, emit, cnt = round_(self.params, self.draft_params,
+                                      state["carry"])
+            state["carry"] = carry
+            state["rounds"] += 1
+            self.last_rounds = state["rounds"]  # streaming telemetry
             # ONE host transfer for both arrays (each dispatched fetch
             # costs a full ~35 ms tunnel round-trip on its own).
             emit_np, cnt_np = jax.device_get((emit, cnt))
-            c = int(cnt_np[0])
-            pending = [int(v) for v in emit_np[0, :c]]
-            pending_ms = (time.perf_counter() - t1) * 1000.0 / max(c, 1)
+            return [int(v) for v in emit_np[0, :int(cnt_np[0])]]
+
+        self.last_rounds = 0
+        t_decode = time.perf_counter()
+        yield from _drain_stream(first, steps, stops, metrics, fetch)
         metrics.decode_ms = (time.perf_counter() - t_decode) * 1000.0
 
     def generate(
