@@ -13,7 +13,46 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+
+def _probe_backend(timeout_s: float = 150.0) -> str | None:
+    """Return None if the JAX backend answers, else a short reason string.
+
+    Runs the device query in a SUBPROCESS under a timeout because a wedged
+    axon tunnel makes ``jax.devices()`` hang in-process for tens of minutes
+    (BENCHMARKS.md). The subprocess exits before we initialize our own
+    backend, so the one-process-per-TPU rule is respected.
+    """
+    import subprocess
+
+    code = (
+        "from zig_gpt2_tpu.utils.platform import apply_platform_override; "
+        "apply_platform_override(); "
+        "import jax; d = jax.devices(); print(d[0].platform)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=os.environ.copy(),
+        )
+    except subprocess.TimeoutExpired:
+        return "backend-probe-timeout"
+    if r.returncode != 0:
+        tail = (r.stderr.strip().splitlines() or ["?"])[-1]
+        return "backend-init-failed: " + tail[:200]
+    return None
+
+
+def _emit_failure(reason: str) -> None:
+    """One parseable JSON line instead of a traceback (VERDICT r03 item 5)."""
+    print(json.dumps({
+        "metric": "bench_failed", "value": 0, "unit": "tokens/sec",
+        "vs_baseline": 0, "ok": False, "reason": reason,
+    }))
 
 
 def main() -> None:
@@ -67,6 +106,19 @@ def main() -> None:
 
     apply_platform_override()  # ZG2_PLATFORM=cpu for off-chip smoke runs
 
+    # Probe the backend in a subprocess BEFORE touching it here: an
+    # unreachable TPU must yield a structured scoreboard line, not a
+    # 30-line traceback (BENCH_r03 was rc=1 with parsed:null).
+    # Skipped when jax is already imported in THIS process (the in-process
+    # test path — a subprocess wouldn't inherit programmatic jax.config
+    # platform overrides) or via ZG2_BENCH_NO_PROBE=1 (tight A/B loops).
+    if (os.environ.get("ZG2_BENCH_NO_PROBE", "0") != "1"
+            and "jax" not in sys.modules):
+        reason = _probe_backend()
+        if reason is not None:
+            _emit_failure(reason)
+            return
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -113,9 +165,17 @@ def main() -> None:
 
         config = dataclasses.replace(config, act_quant=True)
 
-    if args.speculative:
+    if args.speculative and args.mode == "serve":
+        # Serve-mode speculation is draft-free prompt lookup inside the
+        # batcher (runtime/batcher.py _step_spec) — handled below.
+        if args.speculative != "ngram":
+            raise SystemExit("--mode serve --speculative supports only "
+                             "'ngram' (draft-free prompt lookup)")
+        if args.mesh:
+            raise SystemExit("speculative serve is single-device (v1)")
+    elif args.speculative:
         if args.mesh or args.mode not in ("decode", "stream"):
-            raise SystemExit("--speculative is --mode decode/stream, "
+            raise SystemExit("--speculative is --mode decode/stream/serve, "
                              "no --mesh (v1)")
         from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
 
@@ -216,6 +276,12 @@ def main() -> None:
     if args.mode == "serve":
         from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
 
+        spec_kw = {}
+        if args.speculative:
+            # The round replaces chunking: up to spec_k+1 tokens per sync.
+            spec_kw = dict(speculative="ngram", spec_k=args.spec_k)
+            args.decode_chunk = 1
+
         def run_serve():
             batcher = ContinuousBatcher(
                 config, params, batch_size=args.batch,
@@ -225,6 +291,7 @@ def main() -> None:
                 kv_quant=args.kv_quant,
                 decode_chunk=args.decode_chunk,
                 mesh=mesh,
+                **spec_kw,
             )
             r = np.random.default_rng(1)
             for _ in range(args.requests):
@@ -245,16 +312,21 @@ def main() -> None:
             tps, m = run_serve()
             if tps > best:
                 best, metrics = tps, m
-        print(json.dumps({
+        line = {
             "metric": f"gpt2_{args.model}_{args.dtype}"
             + (f"_{args.quant}" if args.quant else "")
             + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+            + (f"_spec{args.speculative}_k{args.spec_k}"
+               if args.speculative else "")
             + f"_serve_slots{args.batch}_tokens_per_sec",
             "value": round(best, 2),
             "unit": "tokens/sec",
             "vs_baseline": round(best / (1000.0 / 28.0), 2),
             "slot_utilization": round(metrics.slot_utilization(args.batch), 3),
-        }))
+        }
+        if args.speculative:
+            line["tokens_per_round"] = round(metrics.tokens_per_round, 2)
+        print(json.dumps(line))
         return
 
     if args.mode == "stream":
@@ -348,4 +420,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — scoreboard must stay parseable
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_failure(f"{type(e).__name__}: {e}"[:300])
+        sys.exit(1)

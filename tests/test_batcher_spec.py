@@ -1,0 +1,127 @@
+"""Speculative serve mode: prompt-lookup (ngram) speculation inside the
+continuous batcher (VERDICT r03 item 6).
+
+Correctness oracle: the committed stream per request is EXACTLY what plain
+greedy serving produces — on CPU the extend verify reproduces decode_step's
+bits (the same contract test_speculative pins for the engine), so the spec
+batcher must be token-identical to the normal batcher, through slot reuse,
+stop tokens, and budgets. A repetition-loop prompt must also show
+tokens_per_round > 1 (lookup really accepting)."""
+
+import jax
+import numpy as np
+import pytest
+
+from zig_gpt2_tpu.config import GPT2_NANO, SamplingConfig
+from zig_gpt2_tpu.models import gpt2
+from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
+
+GREEDY = SamplingConfig(temperature=0.0, seed=0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    # Scaled init diversifies greedy streams (see test_speculative._params).
+    p = gpt2.init_params(GPT2_NANO, jax.random.PRNGKey(0))
+    return jax.tree.map(lambda x: x * 3.0, p)
+
+
+def _serve(params, prompts, max_new, stop_tokens=(), **kw):
+    b = ContinuousBatcher(GPT2_NANO, params, max_seq=64,
+                          prompt_buckets=(16,), sampling=GREEDY, **kw)
+    rids = [b.submit(p, max_new_tokens=max_new, stop_tokens=stop_tokens)
+            for p in prompts]
+    done = b.run()
+    by_rid = {r.rid: r.generated for r in done}
+    return [by_rid[r] for r in rids], b.metrics
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_spec_serve_greedy_parity_with_slot_reuse(params, rng, kv_quant):
+    """5 requests through 2 slots: spec serve == plain serve, bit for bit
+    (the INT8-KV variant is the flagship serving config)."""
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, n))
+               for n in (3, 7, 5, 12, 9)]
+    want, _ = _serve(params, prompts, 8, batch_size=2, kv_quant=kv_quant)
+    got, m = _serve(params, prompts, 8, batch_size=2, kv_quant=kv_quant,
+                    speculative="ngram", spec_k=3)
+    assert got == want
+    assert m.spec_rounds > 0 and m.spec_committed > 0
+
+
+def test_spec_serve_stop_token_mid_round(params, rng):
+    """A stop token inside a round's committed prefix retires the slot and
+    discards the overshoot — visible output identical to plain serve."""
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, 6))
+               for _ in range(3)]
+    # Use each request's own 3rd greedy token as its stop token so the stop
+    # genuinely fires mid-stream.
+    base, _ = _serve(params, prompts, 12, batch_size=2)
+    for p, w in zip(prompts, base):
+        stop = w[2]
+        want, _ = _serve(params, [p], 12, stop_tokens=(stop,), batch_size=2)
+        got, _ = _serve(params, [p], 12, stop_tokens=(stop,), batch_size=2,
+                        speculative="ngram", spec_k=3)
+        assert got == want
+        # Truncated exactly at the stop's FIRST occurrence (which may be
+        # before index 2 if the stream repeats the token).
+        assert got[0] == w[:w.index(stop)]
+
+
+def test_spec_serve_accepts_on_repetition(params):
+    """A periodic prompt drives the model into a repetition loop the ngram
+    lookup can ride: tokens_per_round must exceed 1 (real acceptance)."""
+    loop = [7, 11, 13] * 5  # period-3 prompt
+    got, m = _serve(params, [loop], 24, batch_size=1,
+                    speculative="ngram", spec_k=3, spec_ngram=2)
+    want, _ = _serve(params, [loop], 24, batch_size=1)
+    assert got == want
+    # Random weights may or may not loop — only assert acceptance when the
+    # stream itself is periodic; but the telemetry must always be sane.
+    assert 1.0 <= m.tokens_per_round <= 4.0
+    stream = got[0]
+    if stream[-3:] == stream[-6:-3]:  # the stream did settle into a loop
+        assert m.tokens_per_round > 1.0, m.as_dict(1)
+
+
+def test_spec_serve_budget_exhaustion_and_refill(params, rng):
+    """More requests than slots + budgets hitting mid-round: every request
+    finishes with exactly its budget (no overshoot leaks)."""
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, 4))
+               for _ in range(5)]
+    got, m = _serve(params, prompts, 5, batch_size=2,
+                    speculative="ngram", spec_k=3)
+    assert all(len(g) == 5 for g in got)
+
+
+def test_spec_serve_constructor_guards(params):
+    with pytest.raises(ValueError, match="64-row"):
+        ContinuousBatcher(GPT2_NANO, params, batch_size=16, max_seq=64,
+                          prompt_buckets=(16,), sampling=GREEDY,
+                          speculative="ngram", spec_k=4)
+    with pytest.raises(ValueError, match="decode_chunk"):
+        ContinuousBatcher(GPT2_NANO, params, batch_size=2, max_seq=64,
+                          prompt_buckets=(16,), sampling=GREEDY,
+                          speculative="ngram", decode_chunk=4)
+    with pytest.raises(ValueError, match="prompt lookup"):
+        ContinuousBatcher(GPT2_NANO, params, batch_size=2, max_seq=64,
+                          prompt_buckets=(16,), sampling=GREEDY,
+                          speculative="124M")
+
+
+def test_spec_serve_temperature_runs(params, rng):
+    """Sampled mode executes end to end (law-level exactness is pinned by
+    the engine's distribution tests on the shared core); budgets hold."""
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, 5))
+               for _ in range(3)]
+    got, _ = _serve(params, prompts, 6, batch_size=2,
+                    speculative="ngram", spec_k=2)
+    # overwrite sampling: _serve pins GREEDY, so call directly here
+    b = ContinuousBatcher(GPT2_NANO, params, batch_size=2, max_seq=64,
+                          prompt_buckets=(16,),
+                          sampling=SamplingConfig(temperature=0.8, seed=1),
+                          speculative="ngram", spec_k=2)
+    rids = [b.submit(p, max_new_tokens=6) for p in prompts]
+    done = b.run()
+    assert len(done) == 3
+    assert all(len(r.generated) == 6 for r in done)

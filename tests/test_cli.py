@@ -38,6 +38,24 @@ def test_demo_batch_file(tmp_path, capsys):
     assert metrics["requests_finished"] == 2
 
 
+def test_demo_batch_file_spec_ngram(tmp_path, capsys):
+    """--draft-model ngram + --batch-file: prompt-lookup speculation in the
+    continuous batcher (one extend verify per round)."""
+    f = tmp_path / "prompts.txt"
+    f.write_text("hello world\nthe quick brown\n")
+    cli.main(["--demo", "--batch-file", str(f), "--batch-slots", "2",
+              "--draft-model", "ngram", "--spec-k", "3",
+              "--max-tokens", "4", "--metrics"])
+    captured = capsys.readouterr()
+    lines = [json.loads(l) for l in captured.out.splitlines() if l.strip()]
+    assert {l["prompt"] for l in lines} == {"hello world", "the quick brown"}
+    metrics = json.loads(
+        [l for l in captured.err.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["requests_finished"] == 2
+    assert metrics["spec_rounds"] > 0
+
+
 def test_missing_prompt_errors():
     with pytest.raises(SystemExit):
         cli.main(["--demo"])

@@ -48,6 +48,9 @@ run 3000 flagship_spec_ngram python bench.py --model 1558M --quant int4 --kv-qua
     --speculative ngram --spec-k 4
 run 3000 flagship_spec_draft python bench.py --model 1558M --quant int4 --kv-quant int8 \
     --speculative 124M --spec-quant int4 --spec-k 4
+run 3000 flagship_spec_draft_packed env ZG2_SPEC_DRAFT_PACKED=1 \
+    python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --speculative 124M --spec-quant int4 --spec-k 4
 run 1200 headline_spec_ngram python bench.py --speculative ngram --spec-k 4
 
 # 4. Streaming + serve (VERDICT items 4-5 measurements).
@@ -55,6 +58,10 @@ run 900 stream_chunk1 python bench.py --mode stream --stream-chunk 1 --steps 64
 run 900 stream_chunk8 python bench.py --mode stream --stream-chunk 8 --steps 64
 run 900 stream_spec_ngram python bench.py --mode stream --speculative ngram --spec-k 4 --steps 64
 run 1800 serve16 python bench.py --mode serve --batch 16 --requests 64
+run 1800 serve16_spec_ngram python bench.py --mode serve --batch 16 --requests 64 \
+    --speculative ngram --spec-k 3
+run 2400 serve16_spec_flagship python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --mode serve --batch 16 --requests 48 --speculative ngram --spec-k 3
 
 # 5. TPU-only kernel tests (native PRNG sampling).
 run 1200 tpu_tests env ZG2_TEST_TPU=1 python -m pytest tests/test_sampling_kernel.py -q

@@ -222,13 +222,17 @@ def main(argv=None) -> None:
         else:
             stop_tokens = [int(args.stop)]
 
-    if args.draft_model is not None:
+    # --draft-model ngram composes with --batch-file: draft-free prompt
+    # lookup inside the continuous batcher (one extend verify per round).
+    spec_serve = args.draft_model == "ngram" and args.batch_file is not None
+    if args.draft_model is not None and not spec_serve:
         # (--demo --draft-model demo: the name is ignored, a small random
         # draft sharing the demo tokenizer is built instead.)
         from zig_gpt2_tpu.runtime.speculative import SpeculativeEngine
 
         if mesh is not None or args.batch_file is not None:
-            sys.exit("error: --draft-model is single-prompt, no --mesh (v1)")
+            sys.exit("error: --draft-model is single-prompt (only 'ngram' "
+                     "composes with --batch-file), no --mesh (v1)")
         if args.draft_model == "ngram":
             draft_config = draft_params = None  # prompt lookup
         elif args.demo:
@@ -287,10 +291,14 @@ def main(argv=None) -> None:
         prompts = [
             line for line in Path(args.batch_file).read_text().splitlines() if line
         ]
+        spec_kw = {}
+        if spec_serve:
+            spec_kw = dict(speculative="ngram", spec_k=args.spec_k)
         batcher = ContinuousBatcher(
             config, params, batch_size=args.batch_slots,
             max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,
-            decode_chunk=args.decode_chunk or 1, mesh=mesh,
+            decode_chunk=1 if spec_serve else (args.decode_chunk or 1),
+            mesh=mesh, **spec_kw,
         )
         rid_to_prompt = {
             batcher.submit(encoder.encode(p), args.max_tokens, stop_tokens): p

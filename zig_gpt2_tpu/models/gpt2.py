@@ -429,6 +429,49 @@ def _layer_slice(tree: Params, idx: jax.Array) -> Params:
     )
 
 
+def _gemv_dispatch(
+    p: Dict[str, jax.Array],
+    x2: jax.Array,
+    idx: jax.Array,
+    config: GPTConfig,
+    allow_qmm: bool = True,
+) -> jax.Array:
+    """THE decode-GEMV dispatch policy, in one place (advisor r03 #4):
+    (rows, K) activations @ stacked layer ``idx`` -> (rows, N) float32,
+    NO bias and NO collective — callers add the bias after their psum.
+
+    Selection: fused stacked qmm when the quantized Pallas kernel may run
+    (TPU backend, GEMV-shaped rows<=64, ZG2_QMM!=0, ``allow_qmm`` — False
+    under GSPMD tracing where the custom call can't partition); stacked
+    wmm for float weights (_use_wmm); else the jnp fallbacks (w8a8 when
+    per-channel INT8 + act_quant, grouped dequant matmul otherwise, plain
+    dot for float). Shared by the single-device path (_linear_at) and the
+    step-level manual body (_row_linear_manual) so gate fixes land once."""
+    rows = x2.shape[0]
+    if "qw" in p or "qw4" in p:
+        int4 = "qw4" in p
+        qw = p["qw4"] if int4 else p["qw"]
+        if (allow_qmm and jax.default_backend() == "tpu" and rows <= 64
+                and os.environ.get("ZG2_QMM", "1") != "0"):
+            from zig_gpt2_tpu.quant import kernels
+
+            return kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx,
+                               w8a8=config.act_quant)
+        from zig_gpt2_tpu.quant import quantize as q
+
+        pl = _layer_slice({"q": qw, "scale": p["scale"]}, idx)
+        qfull = q.unpack_int4(pl["q"]) if int4 else pl["q"]
+        if config.act_quant and not int4 and pl["scale"].shape[-2] == 1:
+            return q.w8a8_matmul(x2, qfull, pl["scale"])
+        return q._grouped_matmul_jnp(x2, qfull, pl["scale"])
+    if rows <= 64 and _use_wmm(config):
+        from zig_gpt2_tpu.quant import kernels
+
+        return kernels.wmm(x2, p["w"], layer=idx, interpret=_wmm_interpret())
+    w = jax.lax.dynamic_index_in_dim(p["w"], idx, 0, keepdims=False)
+    return jnp.dot(x2, w, preferred_element_type=jnp.float32)
+
+
 def _row_linear_manual(
     p: Dict[str, jax.Array], x: jax.Array, idx: jax.Array, config: GPTConfig
 ) -> jax.Array:
@@ -451,42 +494,19 @@ def _row_linear_manual(
     lead, k_local = x.shape[:-1], x.shape[-1]
     rows = x.size // k_local
     x2 = x.reshape(rows, k_local)
+    p2 = p
+    if "qw4" in p:
+        xg = jax.lax.all_gather(x2, ax, axis=1, tiled=True)  # (rows, K)
+        tp = xg.shape[1] // k_local
+        from zig_gpt2_tpu.parallel.shard_kernels import int4_row_shard_slices
+
+        x2, scale = int4_row_shard_slices(xg, p["scale"], tp, ax)
+        p2 = {"qw4": p["qw4"], "scale": scale}
     if "qw" in p or "qw4" in p:
-        int4 = "qw4" in p
-        qw = p["qw4"] if int4 else p["qw"]
-        scale = p["scale"]
-        if int4:
-            xg = jax.lax.all_gather(x2, ax, axis=1, tiled=True)  # (rows, K)
-            tp = xg.shape[1] // k_local
-            from zig_gpt2_tpu.parallel.shard_kernels import int4_row_shard_slices
-
-            x2, scale = int4_row_shard_slices(xg, scale, tp, ax)
-        n = qw.shape[-1]
-        if (jax.default_backend() == "tpu" and rows <= 64
-                and os.environ.get("ZG2_QMM", "1") != "0"):
-            from zig_gpt2_tpu.quant import kernels
-
-            y = kernels.qmm(x2, qw, scale, int4=int4, layer=idx,
-                            w8a8=config.act_quant)
-        else:
-            from zig_gpt2_tpu.quant import quantize as q
-
-            pl = _layer_slice({"q": qw, "scale": scale}, idx)
-            qfull = q.unpack_int4(pl["q"]) if int4 else pl["q"]
-            if config.act_quant and not int4 and pl["scale"].shape[-2] == 1:
-                y = q.w8a8_matmul(x2, qfull, pl["scale"])
-            else:
-                y = q._grouped_matmul_jnp(x2, qfull, pl["scale"])
+        n = (p["qw4"] if "qw4" in p else p["qw"]).shape[-1]
     else:
         n = p["w"].shape[-1]
-        if rows <= 64 and _use_wmm(config):
-            from zig_gpt2_tpu.quant import kernels
-
-            y = kernels.wmm(x2, p["w"], layer=idx,
-                            interpret=_wmm_interpret())
-        else:
-            w = jax.lax.dynamic_index_in_dim(p["w"], idx, 0, keepdims=False)
-            y = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+    y = _gemv_dispatch(p2, x2, idx, config)
     y = jax.lax.psum(y, ax)
     y = y.astype(x.dtype).reshape(*lead, n)
     if "b" in p:
@@ -513,44 +533,32 @@ def _linear_at(
         return _row_linear_manual(p, x, idx, config)
     quantized = "qw" in p or "qw4" in p
     rows = x.size // x.shape[-1]
-    if quantized and rows <= 64:
+    if quantized and rows <= 64 and _use_sharded_kernels(config):
         int4 = "qw4" in p
         qw = p["qw4"] if int4 else p["qw"]
-        # ZG2_QMM=0: on-chip debug escape to the jnp dequant fallback
-        # (mirrors ZG2_WMM — triage knob for tunnel sessions).
-        if (jax.default_backend() == "tpu" and not config.spmd
-                and os.environ.get("ZG2_QMM", "1") != "0"):
-            from zig_gpt2_tpu.quant import kernels
-
-            x2 = x.reshape(rows, x.shape[-1])
-            y = kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx,
-                            w8a8=config.act_quant)
-            y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
-            if "b" in p:
-                y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
-            return y
-        if _use_sharded_kernels(config):
-            from zig_gpt2_tpu.parallel import shard_kernels as sk
-
-            x2 = x.reshape(rows, x.shape[-1])
-            y = sk.qmm_sharded(
-                x2, qw, p["scale"], int4=int4, role=role, mesh=config.mesh,
-                layer=idx, interpret=_spmd_interpret(),
-                w8a8=config.act_quant,
-            )
-            y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
-            if "b" in p:
-                y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
-            return y
-    if not quantized and rows <= 64 and _use_wmm(config):
-        # Float decode GEMV through the stacked Pallas kernel: XLA lowers
-        # these to VPU multiply-reduce fusions at ~400 GB/s; the MXU
-        # weight-load path is HBM-bound instead (quant/kernels.wmm).
-        from zig_gpt2_tpu.quant import kernels
+        from zig_gpt2_tpu.parallel import shard_kernels as sk
 
         x2 = x.reshape(rows, x.shape[-1])
-        y = kernels.wmm(x2, p["w"], layer=idx, interpret=_wmm_interpret())
-        y = y.astype(x.dtype).reshape(*x.shape[:-1], p["w"].shape[-1])
+        y = sk.qmm_sharded(
+            x2, qw, p["scale"], int4=int4, role=role, mesh=config.mesh,
+            layer=idx, interpret=_spmd_interpret(),
+            w8a8=config.act_quant,
+        )
+        y = y.astype(x.dtype).reshape(*x.shape[:-1], qw.shape[-1])
+        if "b" in p:
+            y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
+        return y
+    # GEMV-shaped cases go through the ONE dispatch core (stacked qmm /
+    # stacked wmm / jnp fallbacks; ZG2_QMM=0 and ZG2_WMM=0 are honored
+    # there — previously ZG2_QMM=0 fell through to quantized_linear, which
+    # re-entered the per-layer Pallas qmm, breaking the escape hatch).
+    # Excluded under GSPMD tracing: the custom call can't be partitioned
+    # (the op-level shard_map branch above is the mesh alternative).
+    if rows <= 64 and not config.spmd and (quantized or _use_wmm(config)):
+        x2 = x.reshape(rows, x.shape[-1])
+        y = _gemv_dispatch(p, x2, idx, config)
+        n = (p["qw4"] if "qw4" in p else p["qw"] if "qw" in p else p["w"]).shape[-1]
+        y = y.astype(x.dtype).reshape(*x.shape[:-1], n)
         if "b" in p:
             y = y + jax.lax.dynamic_index_in_dim(p["b"], idx, 0, keepdims=False)
         return y
@@ -894,9 +902,18 @@ def _block_extend(
     Attention is append-then-attend over the full cache via
     ops.extend_attention — the window's causal structure falls out of the
     column mask, and T is tiny (k+1 draft tokens) so the plain-XLA einsum
-    path is not worth a Pallas variant. The fused single-row decode
-    kernels and the packed cache layout do not apply here
-    (default_kv_packed is forced off by the speculative engine).
+    path is not worth a Pallas variant.
+
+    The head-pair-PACKED cache layout (config.kv_packed) is supported:
+    the window's K/V pack on append (pack_heads_seq — a tiny-window
+    transpose) and the attention einsum runs over UNPACKED VIEWS of the
+    cache (one transposed read of the valid region per layer). Packing
+    buys nothing *inside* extend — no fused kernel runs here — but it
+    lets a cache that mostly serves fused packed decode_steps (the
+    speculative DRAFT, the batcher's verify path) take extend calls
+    without a relayout. A cache that ONLY ever sees extend should stay
+    unpacked (runtime/speculative.py keeps the target unpacked for this
+    reason).
 
     Args:
       x: (B, T, E) window hidden states.
@@ -904,7 +921,6 @@ def _block_extend(
       valid: (B,) int32 valid window rows (<= T); padding rows are
         appended (then overwritten later) but masked from attention.
     """
-    assert not config.kv_packed, "extend path is unpacked-cache only"
     assert config.manual_axis is None, "extend path is single-device only"
     B, T, _ = x.shape
     ln1 = _layer_slice(blocks["ln_1"], idx)
@@ -919,36 +935,63 @@ def _block_extend(
     v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
 
+    packed = config.kv_packed
+    if packed:
+        from zig_gpt2_tpu.ops import attention as fused_mod
+
+        hpad, _hp = _packed_heads(config)
+        if hpad != H:  # zero phantom head (q stays at H: we attend over
+            zpad = ((0, 0), (0, hpad - H), (0, 0), (0, 0))  # unpacked views)
+            k = jnp.pad(k, zpad)
+            v = jnp.pad(v, zpad)
+
     # The window is CONTIGUOUS in S per lane, so each (H, T, D) block (or
     # (H, T) scale plane) lands in ONE dynamic_update_slice per lane —
     # not T row-appends (same per-batch unroll rule as _put_row_stacked:
     # never vmap dus over a non-leading axis).
-    def put_window(stack, win):  # win: (B, H, T, ...) -> rows at base[b]
+    def put_window(stack, win, s_last=False):
+        # win rows land at base[b]. s_last: the stack's S axis is its LAST
+        # dim (scale planes); otherwise S is second-to-last (k/v blocks
+        # with a trailing feature dim).
         for i in range(win.shape[0]):
             upd = win[i][None, None].astype(stack.dtype)
-            start = (idx, i, 0, base[i]) + (0,) * (stack.ndim - 4)
+            if s_last:
+                start = (idx, i) + (0,) * (stack.ndim - 3) + (base[i],)
+            else:
+                start = (idx, i) + (0,) * (stack.ndim - 4) + (base[i], 0)
             stack = jax.lax.dynamic_update_slice(stack, upd, start)
         return stack
+
+    def cache_at(name):
+        c = jax.lax.dynamic_index_in_dim(caches[name], idx, 0, keepdims=False)
+        if not packed:
+            return c
+        if name.endswith("_scale"):  # (B, 2, Hp, S) -> (B, H, S)
+            return fused_mod.unpack_head_scales_seq(c)[:, :H]
+        return fused_mod.unpack_heads_seq(c)[:, :H]  # (B,Hp,S,2D)->(B,H,S,D)
 
     caches = dict(caches)
     if "k_scale" in caches:  # INT8 cache: quantize the window on append
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
+        if packed:
+            kq, vq = fused_mod.pack_heads_seq(kq), fused_mod.pack_heads_seq(vq)
+            ks, vs = (fused_mod.pack_head_scales_seq(ks),
+                      fused_mod.pack_head_scales_seq(vs))
         caches["k"] = put_window(caches["k"], kq)
         caches["v"] = put_window(caches["v"], vq)
-        caches["k_scale"] = put_window(caches["k_scale"], ks)
-        caches["v_scale"] = put_window(caches["v_scale"], vs)
-        kc = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
-        ksc = jax.lax.dynamic_index_in_dim(caches["k_scale"], idx, 0, keepdims=False)
-        vsc = jax.lax.dynamic_index_in_dim(caches["v_scale"], idx, 0, keepdims=False)
-        attn = ops.extend_attention_quant(q, kc, ksc, vc, vsc, base, valid)
+        caches["k_scale"] = put_window(caches["k_scale"], ks, s_last=True)
+        caches["v_scale"] = put_window(caches["v_scale"], vs, s_last=True)
+        attn = ops.extend_attention_quant(
+            q, cache_at("k"), cache_at("k_scale"),
+            cache_at("v"), cache_at("v_scale"), base, valid)
     else:
+        if packed:
+            k, v = fused_mod.pack_heads_seq(k), fused_mod.pack_heads_seq(v)
         caches["k"] = put_window(caches["k"], k)
         caches["v"] = put_window(caches["v"], v)
-        kc = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
-        attn = ops.extend_attention(q, kc, vc, base, valid)
+        attn = ops.extend_attention(q, cache_at("k"), cache_at("v"),
+                                    base, valid)
     attn = attn.swapaxes(1, 2).reshape(B, T, -1)
     x = x + _linear_at(blocks["attn"]["c_proj"], attn, idx, config, role="row")
     ln2 = _layer_slice(blocks["ln_2"], idx)

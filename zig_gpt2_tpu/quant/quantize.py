@@ -31,6 +31,7 @@ block stack stays a single ``lax.scan``.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -232,6 +233,7 @@ def quantized_linear(
     if (
         jax.default_backend() == "tpu" and rows <= 64 and not spmd
         and not _under_spmd()
+        and os.environ.get("ZG2_QMM", "1") != "0"  # triage escape hatch
     ):
         # Decode / small-batch GEMV: memory-bound on the weight read — the
         # fused kernel streams int8/int4 straight from HBM.

@@ -53,6 +53,9 @@ class Request:
     # Set while scheduled: slot index and the next token to feed the model.
     slot: Optional[int] = None
     next_token: Optional[int] = None
+    # Speculative serve mode: True until the slot's first round emits the
+    # prefill-sampled feed token (the normal path emits it as consumed[0]).
+    fresh: bool = False
 
 
 @dataclass
@@ -66,16 +69,24 @@ class BatcherMetrics:
     decode_s: float = 0.0          # wall time inside batched decode steps
     prefill_s: float = 0.0         # wall time inside admissions
     occupied_slot_steps: int = 0   # Σ active slots over steps
+    spec_rounds: int = 0           # speculative serve: verify rounds run
+    spec_committed: int = 0        # … tokens committed by active slots
 
     def slot_utilization(self, batch_size: int) -> float:
         return self.occupied_slot_steps / max(self.steps * batch_size, 1)
+
+    @property
+    def tokens_per_round(self) -> float:
+        """Speculative serve acceptance telemetry (≈1 means lookup never
+        hits; k+1 is the ceiling)."""
+        return self.spec_committed / max(self.spec_rounds, 1)
 
     @property
     def tokens_per_sec(self) -> float:
         return self.tokens_emitted / max(self.decode_s, 1e-9)
 
     def as_dict(self, batch_size: int) -> dict:
-        return {
+        d = {
             "steps": self.steps,
             "tokens_emitted": self.tokens_emitted,
             "prefills": self.prefills,
@@ -85,6 +96,10 @@ class BatcherMetrics:
             "tokens_per_sec": round(self.tokens_per_sec, 2),
             "slot_utilization": round(self.slot_utilization(batch_size), 4),
         }
+        if self.spec_rounds:
+            d["spec_rounds"] = self.spec_rounds
+            d["tokens_per_round"] = round(self.tokens_per_round, 2)
+        return d
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -110,10 +125,51 @@ class ContinuousBatcher:
         on_token: Optional[Callable[[int, int], None]] = None,
         decode_chunk: int = 1,
         mesh=None,
+        speculative: Optional[str] = None,
+        spec_k: int = 3,
+        spec_ngram: int = 2,
     ):
+        """``speculative="ngram"``: draft-free prompt-lookup speculation in
+        serve mode (VERDICT r03 item 6). Each step runs ONE jitted round —
+        per-slot ngram proposals from the token history + one batched
+        (B, k+1) gpt2.extend verify — instead of a decode chunk, committing
+        1..spec_k+1 tokens per slot per sync. Exactness per slot is the
+        standard accept/residual-resample law (runtime/speculative.py —
+        the core is shared code). No draft model, no second cache: memory
+        cost is one (B, max_seq+k+1) int32 history. Single-device only
+        (extend's scope); decode_chunk must stay 1 (the round IS the sync
+        amortizer: up to k+1 tokens per host round-trip)."""
         from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
         params, config = prepare_serving(params, config, mesh, batch_size)
+        self._spec = None
+        if speculative is not None:
+            if speculative != "ngram":
+                raise ValueError(
+                    "serve-mode speculation is draft-free prompt lookup "
+                    f"only (speculative='ngram'), got {speculative!r}")
+            if mesh is not None or config.spmd:
+                raise ValueError("speculative serve is single-device (v1)")
+            if decode_chunk != 1:
+                raise ValueError("speculative serve replaces decode_chunk "
+                                 "(a round commits up to spec_k+1 tokens "
+                                 "per sync) — leave decode_chunk=1")
+            if spec_k < 1:
+                raise ValueError("spec_k must be >= 1")
+            if batch_size * (spec_k + 1) > 64:
+                raise ValueError(
+                    f"batch_size*(spec_k+1) = {batch_size * (spec_k + 1)} "
+                    "exceeds the 64-row stacked-GEMV kernel bound "
+                    "(CLAUDE.md invariants) — lower spec_k or batch_size")
+            # The cache only ever sees prefill + extend in this mode (no
+            # decode_step runs), so the packed layout would be pure
+            # unpack-view cost — keep it unpacked (the layout table in
+            # CLAUDE.md: extend-only caches stay unpacked).
+            if config.kv_packed:
+                import dataclasses
+
+                config = dataclasses.replace(config, kv_packed=False)
+            self._spec = (spec_k, max(int(spec_ngram), 1))
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -136,8 +192,14 @@ class ContinuousBatcher:
         # decode_chunk-1 extra rows of headroom: a slot that hits its budget
         # mid-chunk keeps consuming garbage rows until the chunk ends
         # (dynamic_update_slice clamps at the edge, but headroom keeps even
-        # those writes off real data).
-        cache_rows = self.max_seq + (self.decode_chunk - 1)
+        # those writes off real data). Speculative serve instead needs
+        # 2*(k+1): one round's verify window past a slot that retires
+        # mid-round, plus extend's always-on k+1-row headroom contract
+        # (idle slots clamp at cache_rows - (k+1) inside the round).
+        if self._spec is not None:
+            cache_rows = self.max_seq + 2 * (self._spec[0] + 1)
+        else:
+            cache_rows = self.max_seq + (self.decode_chunk - 1)
         self.cache = gpt2.init_kv_cache(
             config, batch_size, cache_rows, dtype=cache_dtype, quant=kv_quant
         )
@@ -173,7 +235,47 @@ class ContinuousBatcher:
         chunk = self.decode_chunk
         from zig_gpt2_tpu.parallel import step_spmd
 
-        if step_spmd.enabled(config):
+        if self._spec is not None:
+            from zig_gpt2_tpu.runtime import speculative as spec_mod
+
+            sk, sn = self._spec
+            self._hist_cap = self.max_seq + sk + 1
+            len_cap = cache_rows - (sk + 1)
+            hw_cap = self._hist_cap - (sk + 1)
+            B = batch_size
+
+            def spec_round(params, cache, hist, hist_len, tokens, key):
+                key, k_acc, k_next = jax.random.split(key, 3)
+                ds = spec_mod._propose_ngram(hist, hist_len, tokens,
+                                             k=sk, ngram=sn)
+                cache, emit, a, nxt = spec_mod._verify_accept_commit(
+                    params, config, cache, tokens, ds, None, k_acc, k_next,
+                    k=sk, greedy=sampling.temperature == 0.0,
+                    temperature=sampling.temperature,
+                    top_k=sampling.top_k, top_p=sampling.top_p)
+                # Idle-slot clamps: retired slots keep verifying garbage
+                # forever; cap their cache length (preserving extend's
+                # k+1-row headroom contract) and their history cursor (the
+                # tail goes stale — proposals degrade, never corrupt).
+                cache = dict(cache,
+                             length=jnp.minimum(cache["length"], len_cap))
+                hl = jnp.minimum(hist_len, hw_cap)
+                for b in range(B):  # per-lane cursor write (B static)
+                    hist = jax.lax.dynamic_update_slice(
+                        hist, emit[b][None], (b, hl[b]))
+                hist_len = jnp.minimum(hist_len + a + 1, hw_cap)
+                # tokens rides through as this round's consumed feed token
+                # (emitted on a slot's FIRST round — see step()).
+                return cache, hist, hist_len, tokens, emit, a + 1, nxt, key
+
+            self._spec_round = jax.jit(
+                spec_round, donate_argnums=(1, 2),
+                out_shardings=(self._cache_fmt,) + (None,) * 7,
+            )
+            self._hist = jnp.zeros((batch_size, self._hist_cap), jnp.int32)
+            self._hist_len = jnp.zeros((batch_size,), jnp.int32)
+            decode_sample = None
+        elif step_spmd.enabled(config):
             # Whole chunk in ONE manual-SPMD region (see parallel/step_spmd).
             decode_sample = step_spmd.make_chunk_fn(
                 config, params, kv_quant, chunk, sampling.temperature,
@@ -196,10 +298,11 @@ class ContinuousBatcher:
                 )
                 return cache, consumed, nxt, key  # consumed: (chunk, B)
 
-        self._decode = jax.jit(
-            decode_sample, donate_argnums=(1, 2),
-            out_shardings=(self._cache_fmt, None, None, None),
-        )
+        if decode_sample is not None:
+            self._decode = jax.jit(
+                decode_sample, donate_argnums=(1, 2),
+                out_shardings=(self._cache_fmt, None, None, None),
+            )
 
         self.metrics = BatcherMetrics()
         self.slots: List[Optional[Request]] = [None] * batch_size
@@ -251,12 +354,14 @@ class ContinuousBatcher:
 
     def step(self) -> Dict[int, List[int]]:
         """Admit queued requests, run one batched decode chunk
-        (``decode_chunk`` sub-steps on device), return {rid: [tokens]}
-        emitted this step."""
+        (``decode_chunk`` sub-steps on device) — or one speculative round —
+        and return {rid: [tokens]} emitted this step."""
         self._admit()
         active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return {}
+        if self._spec is not None:
+            return self._step_spec(active)
 
         t0 = time.perf_counter()
         cache, consumed_dev, self._tokens, self._key = self._decode(
@@ -270,24 +375,60 @@ class ContinuousBatcher:
 
         emitted: Dict[int, List[int]] = {}
         for i, req in active:
-            for j in range(self.decode_chunk):
-                fed = int(consumed[j, i])  # token consumed at sub-step j
-                if fed in req.stop_tokens:  # stop tokens are not emitted
-                    self._retire(i, req)
-                    break
-                req.generated.append(fed)
-                self.metrics.tokens_emitted += 1
-                emitted.setdefault(req.rid, []).append(fed)
-                if self.on_token is not None:
-                    self.on_token(req.rid, fed)
-                budget_hit = (
-                    req.max_new_tokens is not None
-                    and len(req.generated) >= req.max_new_tokens
-                )
-                full = len(req.prompt_ids) + len(req.generated) >= self.max_seq
-                if budget_hit or full:
-                    self._retire(i, req)
-                    break
+            self._consume(i, req,
+                          [int(consumed[j, i])  # token consumed at sub-step j
+                           for j in range(self.decode_chunk)], emitted)
+        return emitted
+
+    def _consume(self, i: int, req: Request, toks: List[int],
+                 emitted: Dict[int, List[int]]) -> None:
+        """Per-request bookkeeping for a batch of just-produced tokens:
+        stop-token check (stops are not emitted), budget/window retirement,
+        streaming callback. Overshoot past a retirement is discarded —
+        identical semantics for decode chunks and speculative rounds."""
+        for fed in toks:
+            if fed in req.stop_tokens:
+                self._retire(i, req)
+                return
+            req.generated.append(fed)
+            self.metrics.tokens_emitted += 1
+            emitted.setdefault(req.rid, []).append(fed)
+            if self.on_token is not None:
+                self.on_token(req.rid, fed)
+            budget_hit = (
+                req.max_new_tokens is not None
+                and len(req.generated) >= req.max_new_tokens
+            )
+            full = len(req.prompt_ids) + len(req.generated) >= self.max_seq
+            if budget_hit or full:
+                self._retire(i, req)
+                return
+
+    def _step_spec(self, active) -> Dict[int, List[int]]:
+        """One speculative serve round: per-slot ngram proposals + one
+        batched (B, k+1) verify extend, ONE host sync. A slot's first round
+        also emits the prefill-sampled feed token (the normal path emits it
+        as consumed[0] of the first chunk)."""
+        t0 = time.perf_counter()
+        (self.cache, self._hist, self._hist_len, consumed0, emit_dev,
+         n_dev, self._tokens, self._key) = self._spec_round(
+            self.params, self.cache, self._hist, self._hist_len,
+            self._tokens, self._key)
+        consumed0, emit, n = jax.device_get((consumed0, emit_dev, n_dev))
+        self.metrics.decode_s += time.perf_counter() - t0
+        self.metrics.steps += 1
+        self.metrics.occupied_slot_steps += len(active)
+        self.metrics.spec_rounds += 1
+
+        emitted: Dict[int, List[int]] = {}
+        for i, req in active:
+            toks = []
+            if req.fresh:
+                toks.append(int(consumed0[i]))
+                req.fresh = False
+            toks += [int(emit[i, j]) for j in range(int(n[i]))]
+            self.metrics.spec_committed += int(n[i])
+            self._consume(i, req, toks, emitted)
         return emitted
 
     def run(self) -> List[Request]:
@@ -315,9 +456,11 @@ class ContinuousBatcher:
         if hit is not None:
             return hit
         config, sampling = self.config, self.sampling
+        spec = self._spec is not None
+        hist_cap = self._hist_cap if spec else 0
 
         def prefill_insert(params, cache, slot_init, tokens, lengths, idxs,
-                           feed, key):
+                           feed, key, hist=None, hist_len=None):
             slot_cache, logits = gpt2.prefill(
                 params, slot_init, tokens, lengths, config
             )
@@ -341,14 +484,29 @@ class ContinuousBatcher:
                 feed = jax.lax.dynamic_update_slice_in_dim(
                     feed, first[j:j + 1], idxs[j], axis=0
                 )
-            return out, feed, key
+            if not spec:
+                return out, feed, key
+            # Speculative serve: seed each admitted slot's token history
+            # with [prompt..., first] and cursor len+1 (the engine's
+            # convention: the unprocessed feed token sits at L-1).
+            hrow = jnp.zeros((k, hist_cap), jnp.int32)
+            hrow = jax.lax.dynamic_update_slice(hrow, tokens, (0, 0))
+            for j in range(k):
+                hrow = jax.lax.dynamic_update_slice(
+                    hrow, first[j][None, None], (j, lengths[j]))
+                hist = jax.lax.dynamic_update_slice(
+                    hist, hrow[j][None], (idxs[j], 0))
+                hist_len = jax.lax.dynamic_update_slice(
+                    hist_len, lengths[j][None] + 1, (idxs[j],))
+            return out, feed, key, hist, hist_len
 
         # slot_init is NOT donated: its buffers can't alias the spliced
         # outputs (XLA warns and ignores the donation); the main cache and
-        # the feed vector are.
+        # the feed vector (and the history, spec mode) are.
         fn = jax.jit(
-            prefill_insert, donate_argnums=(1, 6),
-            out_shardings=(self._cache_fmt, None, None),
+            prefill_insert, donate_argnums=(1, 6) + ((8,) if spec else ()),
+            out_shardings=(self._cache_fmt, None, None)
+            + ((None, None) if spec else ()),
         )
         self._prefill_inserts[k] = fn
         return fn
@@ -389,7 +547,7 @@ class ContinuousBatcher:
                 )
                 if self._slot_shardings is not None:
                     slot_init = jax.device_put(slot_init, self._slot_shardings)
-                self.cache, self._tokens, self._key = self._get_prefill_insert(k)(
+                args = (
                     self.params,
                     self.cache,
                     slot_init,
@@ -399,8 +557,16 @@ class ContinuousBatcher:
                     self._tokens,
                     self._key,
                 )
+                if self._spec is not None:
+                    (self.cache, self._tokens, self._key,
+                     self._hist, self._hist_len) = self._get_prefill_insert(
+                        k)(*args, self._hist, self._hist_len)
+                else:
+                    self.cache, self._tokens, self._key = (
+                        self._get_prefill_insert(k)(*args))
                 for i, req in chunk:
                     req.slot = i
+                    req.fresh = self._spec is not None
                     self.slots[i] = req
                 self.metrics.prefills += k
                 self.metrics.prefill_s += time.perf_counter() - t0

@@ -52,8 +52,11 @@ logits on BOTH sides before softmax (the speculative identity holds for
 any (p, q) pair), so the output law is exactly the target's truncated
 sampling — matching InferenceEngine's semantics.
 
-Scope (v1): single-device, unpacked KV cache (``kv_packed`` is forced off —
-``gpt2.extend`` is the plain-XLA multi-query path).
+Scope (v1): single-device. The TARGET cache is unpacked (it only ever
+sees ``gpt2.extend``, where packing buys nothing — see
+_single_device_config); the DRAFT may keep the head-pair-packed layout
+for its fused decode_steps via ZG2_SPEC_DRAFT_PACKED=1 (extend handles
+packed caches since round 4).
 """
 
 from __future__ import annotations
@@ -71,12 +74,29 @@ from zig_gpt2_tpu.models import gpt2
 from zig_gpt2_tpu.runtime.engine import cache_formats
 
 
-def _single_device_config(config: GPTConfig) -> GPTConfig:
+def _single_device_config(config: GPTConfig, extend_only: bool) -> GPTConfig:
+    """Resolve the KV-cache layout for one speculative-engine model.
+
+    TARGET (extend_only=True): always UNPACKED. Its cache only ever sees
+    gpt2.extend (verify), where packing buys no fused kernel and costs an
+    unpack-view read per layer.
+
+    DRAFT (extend_only=False): runs k-1 fused decode_steps per round plus
+    one 2-token catch-up extend, so the packed layout's fused-attention
+    win applies — but it has never been measured on hardware in this
+    combination, so it is opt-in via ZG2_SPEC_DRAFT_PACKED=1 (A/B in
+    tools/ab/run_all.sh) until the chip says otherwise.
+    """
+    import os
+
     if config.spmd or config.mesh is not None:
         raise ValueError("SpeculativeEngine is single-device (v1): pass "
                          "unsharded params/configs")
-    if config.kv_packed:
-        config = dataclasses.replace(config, kv_packed=False)
+    want = False
+    if not extend_only and os.environ.get("ZG2_SPEC_DRAFT_PACKED") == "1":
+        want = gpt2.default_kv_packed(config)
+    if config.kv_packed != want:
+        config = dataclasses.replace(config, kv_packed=want)
     return config
 
 
@@ -97,6 +117,111 @@ def _probs(logits: jax.Array, temperature: float,
            top_p: Optional[float] = None) -> jax.Array:
     return jax.nn.softmax(_scaled(logits, temperature, top_k, top_p),
                           axis=-1)
+
+
+def _propose_ngram(hist: jax.Array, hist_len: jax.Array, tok: jax.Array,
+                   *, k: int, ngram: int) -> jax.Array:
+    """Prompt-lookup proposals: continue the most recent earlier occurrence
+    of the last ``ngram`` committed tokens. hist[:, :L] holds every
+    committed token INCLUDING the unprocessed ``tok`` at L-1; slots beyond
+    are stale emit slack (harmless: a garbage proposal is just rejected).
+    Module-level so the serving batcher's speculative mode reuses the same
+    code (runtime/batcher.py)."""
+    B = tok.shape[0]
+    C = hist.shape[1]
+    pos = jnp.arange(C)[None, :]  # (1, C)
+    # match[b, j] = the ngram ENDING at j equals the one ending at
+    # L-1, for j <= L-2 (j indexes hist columns; j >= ngram-1).
+    match = jnp.ones((B, C), bool)
+    for o in range(ngram):
+        tail = jnp.take_along_axis(
+            hist, (hist_len - 1 - o)[:, None], axis=1)  # (B, 1)
+        shifted = jnp.roll(hist, o, axis=1)  # hist[j-o] at col j
+        match &= shifted == tail
+    match &= (pos >= ngram - 1) & (pos <= (hist_len - 2)[:, None])
+    # Lanes with fewer than ngram+1 committed tokens can't form a
+    # valid (tail, earlier-occurrence) pair — and hist_len-1-o goes
+    # negative above, wrapping to stale slack slots that fabricate
+    # matches. Disable lookup until enough history exists.
+    match &= (hist_len > ngram)[:, None]
+    j = jnp.max(jnp.where(match, pos, -1), axis=1)  # (B,) last match
+    found = j >= 0
+    # Continue CYCLICALLY with the match's period p = (L-1) - j:
+    # a tail-adjacent match (the common case in a repetition loop)
+    # would otherwise run past the written history after p tokens;
+    # for a pure period-p loop the wrap is exactly right, and for
+    # a distant match (p >= k) it is plain continuation.
+    p = jnp.maximum((hist_len - 1) - j, 1)  # (B,)
+    offs = jnp.mod(jnp.arange(k)[None, :], p[:, None])  # (B, k)
+    idxs = jnp.minimum(j[:, None] + 1 + offs, C - 1)
+    props = jnp.take_along_axis(hist, idxs, axis=1)  # (B, k)
+    return jnp.where(found[:, None], props,
+                     jnp.broadcast_to(tok[:, None], (B, k)))
+
+
+def _verify_accept_commit(params_t, conf_t: GPTConfig, cache_t, tok, ds, Q,
+                          k_acc, k_next, *, k: int, greedy: bool,
+                          temperature: float, top_k, top_p):
+    """The target side of one speculative round: ONE (k+1)-row verify
+    extend over [tok, d_1..d_k], longest-prefix acceptance, and the
+    bonus/residual token — the exactness-critical core ("Fast Inference
+    from Transformers via Speculative Decoding", Leviathan et al. 2023).
+    Module-level so SpeculativeEngine and the serving batcher share one
+    copy. Returns (cache_t, emit (B, k+1), a (B,), nxt (B,)) with the
+    cache length rewound to the committed prefix (base + 1 + a).
+
+    ``Q``: the draft's (B, k, V) proposal distributions, or None for a
+    deterministic proposer (prompt lookup) — treated as one-hot."""
+    B = tok.shape[0]
+    m_t = cache_t["length"]
+
+    # ---- target: one (k+1)-row verify extend
+    wt = jnp.concatenate([tok[:, None], ds], axis=1)  # (B, k+1)
+    cache_t, lt = gpt2.extend(
+        params_t, cache_t, wt, jnp.full((B,), k + 1, jnp.int32), conf_t)
+
+    # ---- acceptance: longest prefix, then the +1 token
+    if greedy:
+        tgt = jnp.argmax(lt, axis=-1).astype(jnp.int32)  # (B, k+1)
+        acc = tgt[:, :k] == ds  # (B, k)
+    else:
+        P = _probs(lt, temperature, top_k, top_p)  # (B, k+1, V)
+        if Q is None:  # prompt lookup: deterministic proposal =
+            # one-hot draft distribution — accept iff u < p(d_i),
+            # residual renormalizes P minus the proposal's mass.
+            Q = jax.nn.one_hot(ds, P.shape[-1], dtype=P.dtype)
+        p_tok = jnp.take_along_axis(P[:, :k], ds[:, :, None], 2)[..., 0]
+        q_tok = jnp.take_along_axis(Q, ds[:, :, None], 2)[..., 0]
+        u = jax.random.uniform(k_acc, (B, k))
+        acc = u * q_tok < p_tok
+    a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+
+    if greedy:
+        nxt = jnp.take_along_axis(tgt, a[:, None], axis=1)[:, 0]
+    else:
+        # Unified residual/bonus: pad Q with a zero row at index k so
+        # the a==k gather subtracts nothing and resamples from P_k+1.
+        Qp = jnp.concatenate([Q, jnp.zeros_like(P[:, :1])], axis=1)
+        P_a = jnp.take_along_axis(P, a[:, None, None], 1)[:, 0]
+        Q_a = jnp.take_along_axis(Qp, a[:, None, None], 1)[:, 0]
+        resid = jnp.clip(P_a - Q_a, 0.0, None)
+        norm = jnp.sum(resid, axis=-1, keepdims=True)
+        # Degenerate all-clipped rows (numerics): fall back to P_a.
+        resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20),
+                          P_a)
+        nxt = jax.random.categorical(
+            k_next, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
+        ).astype(jnp.int32)
+
+    # ---- commit: emit d_1..d_a then nxt at slot a
+    slots = jnp.arange(k + 1)[None, :]  # (1, k+1)
+    d_pad = jnp.concatenate([ds, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    emit = jnp.where(slots < a[:, None], d_pad,
+                     jnp.where(slots == a[:, None], nxt[:, None], 0))
+
+    # ---- rewind length to the committed prefix
+    cache_t = dict(cache_t, length=m_t + 1 + a)
+    return cache_t, emit, a, nxt
 
 
 class SpeculativeEngine:
@@ -143,13 +268,14 @@ class SpeculativeEngine:
             raise ValueError(
                 f"batch_size*(k+1) = {batch_size * (k + 1)} exceeds the "
                 "64-row stacked-GEMV kernel bound — lower k or batch_size")
-        self.config = _single_device_config(config)
+        self.config = _single_device_config(config, extend_only=True)
         self.params = params
         self.k = k
         self.batch_size = batch_size
         self.ngram = None if draft_config is not None else max(int(ngram), 1)
         if draft_config is not None:
-            self.draft_config = _single_device_config(draft_config)
+            self.draft_config = _single_device_config(draft_config,
+                                                      extend_only=False)
             self.draft_params = draft_params
             self.max_seq = max_seq or min(config.context_size,
                                           draft_config.context_size)
@@ -253,39 +379,6 @@ class SpeculativeEngine:
             Q = None if greedy else jnp.stack(q_list, axis=1)
             return (cache_d, pend, pv, vd), ds, Q
 
-        def propose_ngram(dstate, tok):
-            # ---- prompt lookup: continue the most recent earlier
-            # occurrence of the last `ngram` committed tokens. hist[:, :L]
-            # holds every committed token INCLUDING the unprocessed `tok`
-            # at L-1; slots beyond are stale emit slack (harmless: a
-            # garbage proposal is just rejected).
-            hist, hist_len = dstate
-            C = hist.shape[1]
-            pos = jnp.arange(C)[None, :]  # (1, C)
-            # match[b, j] = the ngram ENDING at j equals the one ending at
-            # L-1, for j <= L-2 (j indexes hist columns; j >= ngram-1).
-            match = jnp.ones((B, C), bool)
-            for o in range(ngram):
-                tail = jnp.take_along_axis(
-                    hist, (hist_len - 1 - o)[:, None], axis=1)  # (B, 1)
-                shifted = jnp.roll(hist, o, axis=1)  # hist[j-o] at col j
-                match &= shifted == tail
-            match &= (pos >= ngram - 1) & (pos <= (hist_len - 2)[:, None])
-            j = jnp.max(jnp.where(match, pos, -1), axis=1)  # (B,) last match
-            found = j >= 0
-            # Continue CYCLICALLY with the match's period p = (L-1) - j:
-            # a tail-adjacent match (the common case in a repetition loop)
-            # would otherwise run past the written history after p tokens;
-            # for a pure period-p loop the wrap is exactly right, and for
-            # a distant match (p >= k) it is plain continuation.
-            p = jnp.maximum((hist_len - 1) - j, 1)  # (B,)
-            offs = jnp.mod(jnp.arange(k)[None, :], p[:, None])  # (B, k)
-            idxs = jnp.minimum(j[:, None] + 1 + offs, C - 1)
-            props = jnp.take_along_axis(hist, idxs, axis=1)  # (B, k)
-            ds = jnp.where(found[:, None], props,
-                           jnp.broadcast_to(tok[:, None], (B, k)))
-            return ds
-
         def round_body(params_t, params_d, carry):
             (cache_t, dstate, tok, key) = carry
             m_t = cache_t["length"]
@@ -294,57 +387,15 @@ class SpeculativeEngine:
             if ngram is None:
                 dmid, ds, Q = propose_draft(params_d, dstate, tok, k_draft)
             else:
-                ds = propose_ngram(dstate, tok)
-                Q = None  # one-hot, built after the verify pass if needed
+                ds = _propose_ngram(dstate[0], dstate[1], tok,
+                                    k=k, ngram=ngram)
+                Q = None  # deterministic proposal: one-hot inside the core
 
-            # ---- target: one (k+1)-row verify extend
-            wt = jnp.concatenate([tok[:, None], ds], axis=1)  # (B, k+1)
-            cache_t, lt = gpt2.extend(
-                params_t, cache_t, wt,
-                jnp.full((B,), k + 1, jnp.int32), conf_t)
+            cache_t, emit, a, nxt = _verify_accept_commit(
+                params_t, conf_t, cache_t, tok, ds, Q, k_acc, k_next,
+                k=k, greedy=greedy, temperature=temperature,
+                top_k=top_k, top_p=top_p)
 
-            # ---- acceptance: longest prefix, then the +1 token
-            if greedy:
-                tgt = jnp.argmax(lt, axis=-1).astype(jnp.int32)  # (B, k+1)
-                acc = tgt[:, :k] == ds  # (B, k)
-            else:
-                P = _probs(lt, temperature, top_k, top_p)  # (B, k+1, V)
-                if Q is None:  # prompt lookup: deterministic proposal =
-                    # one-hot draft distribution — accept iff u < p(d_i),
-                    # residual renormalizes P minus the proposal's mass.
-                    Q = jax.nn.one_hot(ds, P.shape[-1], dtype=P.dtype)
-                p_tok = jnp.take_along_axis(P[:, :k], ds[:, :, None], 2)[..., 0]
-                q_tok = jnp.take_along_axis(Q, ds[:, :, None], 2)[..., 0]
-                u = jax.random.uniform(k_acc, (B, k))
-                acc = u * q_tok < p_tok
-            a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
-
-            if greedy:
-                nxt = jnp.take_along_axis(tgt, a[:, None], axis=1)[:, 0]
-            else:
-                # Unified residual/bonus: pad Q with a zero row at index k so
-                # the a==k gather subtracts nothing and resamples from P_k+1.
-                Qp = jnp.concatenate([Q, jnp.zeros_like(P[:, :1])], axis=1)
-                P_a = jnp.take_along_axis(P, a[:, None, None], 1)[:, 0]
-                Q_a = jnp.take_along_axis(Qp, a[:, None, None], 1)[:, 0]
-                resid = jnp.clip(P_a - Q_a, 0.0, None)
-                norm = jnp.sum(resid, axis=-1, keepdims=True)
-                # Degenerate all-clipped rows (numerics): fall back to P_a.
-                resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20),
-                                  P_a)
-                nxt = jax.random.categorical(
-                    k_next, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
-                ).astype(jnp.int32)
-
-            # ---- commit: emit d_1..d_a then nxt at slot a
-            slots = jnp.arange(k + 1)[None, :]  # (1, k+1)
-            d_pad = jnp.concatenate(
-                [ds, jnp.zeros((B, 1), jnp.int32)], axis=1)
-            emit = jnp.where(slots < a[:, None], d_pad,
-                             jnp.where(slots == a[:, None], nxt[:, None], 0))
-
-            # ---- rewind lengths to the committed prefix
-            cache_t = dict(cache_t, length=m_t + 1 + a)
             if ngram is None:
                 cache_d, _pend, _pv, _vd = dmid
                 # cache_d["length"] is already the post-proposal row count
@@ -506,7 +557,12 @@ class SpeculativeEngine:
                                    cache_t, dstate, tok, key)
         self.last_rounds = int(rounds)
         out = np.asarray(buf)[:, :n_steps]
-        assert int(np.min(np.asarray(counts))) >= n_steps
+        # Guards the buffer-clamp overshoot scheme that makes out[:, :n_steps]
+        # valid — must survive `python -O`, so not a bare assert.
+        if int(np.min(np.asarray(counts))) < n_steps:
+            raise RuntimeError(
+                "speculative loop under-produced: a lane emitted fewer than "
+                f"n_steps={n_steps} tokens — buffer-clamp invariant broken")
         return out
 
     def generate_iter(
