@@ -278,8 +278,10 @@ def main() -> None:
 
         spec_kw = {}
         if args.speculative:
-            # The round replaces chunking: up to spec_k+1 tokens per sync.
-            spec_kw = dict(speculative="ngram", spec_k=args.spec_k)
+            # Rounds replace chunking: --decode-chunk N becomes N rounds
+            # per sync, each committing up to spec_k+1 tokens.
+            spec_kw = dict(speculative="ngram", spec_k=args.spec_k,
+                           spec_chunk=args.decode_chunk)
             args.decode_chunk = 1
 
         def run_serve():

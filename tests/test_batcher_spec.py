@@ -84,6 +84,20 @@ def test_spec_serve_accepts_on_repetition(params):
         assert m.tokens_per_round > 1.0, m.as_dict(1)
 
 
+@pytest.mark.parametrize("spec_chunk", [2, 3])
+def test_spec_serve_chunked_rounds_parity(params, rng, spec_chunk):
+    """spec_chunk rounds per host sync: same committed streams as plain
+    serve (stop/budget checks move to chunk granularity, overshoot is
+    discarded — identical visible semantics to decode_chunk)."""
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, n))
+               for n in (3, 7, 5, 12)]
+    want, _ = _serve(params, prompts, 8, batch_size=2)
+    got, m = _serve(params, prompts, 8, batch_size=2,
+                    speculative="ngram", spec_k=2, spec_chunk=spec_chunk)
+    assert got == want
+    assert m.spec_rounds % spec_chunk == 0
+
+
 def test_spec_serve_budget_exhaustion_and_refill(params, rng):
     """More requests than slots + budgets hitting mid-round: every request
     finishes with exactly its budget (no overshoot leaks)."""

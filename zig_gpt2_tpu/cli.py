@@ -293,7 +293,9 @@ def main(argv=None) -> None:
         ]
         spec_kw = {}
         if spec_serve:
-            spec_kw = dict(speculative="ngram", spec_k=args.spec_k)
+            # --decode-chunk N = N speculative rounds per host sync.
+            spec_kw = dict(speculative="ngram", spec_k=args.spec_k,
+                           spec_chunk=args.decode_chunk or 1)
         batcher = ContinuousBatcher(
             config, params, batch_size=args.batch_slots,
             max_seq=args.max_seq, sampling=sampling, kv_quant=kv_quant,

@@ -128,17 +128,20 @@ class ContinuousBatcher:
         speculative: Optional[str] = None,
         spec_k: int = 3,
         spec_ngram: int = 2,
+        spec_chunk: int = 1,
     ):
         """``speculative="ngram"``: draft-free prompt-lookup speculation in
-        serve mode (VERDICT r03 item 6). Each step runs ONE jitted round —
-        per-slot ngram proposals from the token history + one batched
-        (B, k+1) gpt2.extend verify — instead of a decode chunk, committing
-        1..spec_k+1 tokens per slot per sync. Exactness per slot is the
-        standard accept/residual-resample law (runtime/speculative.py —
-        the core is shared code). No draft model, no second cache: memory
-        cost is one (B, max_seq+k+1) int32 history. Single-device only
-        (extend's scope); decode_chunk must stay 1 (the round IS the sync
-        amortizer: up to k+1 tokens per host round-trip)."""
+        serve mode (VERDICT r03 item 6). Each step runs ``spec_chunk``
+        jitted rounds in ONE dispatch — per-slot ngram proposals from the
+        token history + one batched (B, k+1) gpt2.extend verify per round —
+        instead of a decode chunk, committing 1..spec_k+1 tokens per slot
+        per round. Exactness per slot is the standard
+        accept/residual-resample law (runtime/speculative.py — the core is
+        shared code). No draft model, no second cache: memory cost is one
+        (B, ~max_seq) int32 history. Single-device only (extend's scope);
+        decode_chunk must stay 1 (rounds are the sync amortizer:
+        spec_chunk rounds x up to k+1 tokens per host round-trip, with
+        chunk-granular stop/budget checks like decode_chunk)."""
         from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
         params, config = prepare_serving(params, config, mesh, batch_size)
@@ -169,7 +172,8 @@ class ContinuousBatcher:
                 import dataclasses
 
                 config = dataclasses.replace(config, kv_packed=False)
-            self._spec = (spec_k, max(int(spec_ngram), 1))
+            self._spec = (spec_k, max(int(spec_ngram), 1),
+                          max(int(spec_chunk), 1))
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -193,11 +197,13 @@ class ContinuousBatcher:
         # mid-chunk keeps consuming garbage rows until the chunk ends
         # (dynamic_update_slice clamps at the edge, but headroom keeps even
         # those writes off real data). Speculative serve instead needs
-        # 2*(k+1): one round's verify window past a slot that retires
-        # mid-round, plus extend's always-on k+1-row headroom contract
-        # (idle slots clamp at cache_rows - (k+1) inside the round).
+        # (spec_chunk+1)*(k+1): an active slot can overshoot its budget by
+        # up to spec_chunk rounds' verify windows before the host sees it,
+        # plus extend's always-on k+1-row headroom contract (idle slots
+        # clamp at cache_rows - (k+1) inside the round).
         if self._spec is not None:
-            cache_rows = self.max_seq + 2 * (self._spec[0] + 1)
+            cache_rows = (self.max_seq
+                          + (self._spec[2] + 1) * (self._spec[0] + 1))
         else:
             cache_rows = self.max_seq + (self.decode_chunk - 1)
         self.cache = gpt2.init_kv_cache(
@@ -238,18 +244,19 @@ class ContinuousBatcher:
         if self._spec is not None:
             from zig_gpt2_tpu.runtime import speculative as spec_mod
 
-            sk, sn = self._spec
-            self._hist_cap = self.max_seq + sk + 1
+            sk, sn, sr = self._spec
+            self._hist_cap = self.max_seq + (sr + 1) * (sk + 1)
             len_cap = cache_rows - (sk + 1)
             hw_cap = self._hist_cap - (sk + 1)
             B = batch_size
 
-            def spec_round(params, cache, hist, hist_len, tokens, key):
+            def one_round(params, cache, hist, hist_len, tokens, key):
                 key, k_acc, k_next = jax.random.split(key, 3)
                 ds = spec_mod._propose_ngram(hist, hist_len, tokens,
                                              k=sk, ngram=sn)
                 cache, emit, a, nxt = spec_mod._verify_accept_commit(
-                    params, config, cache, tokens, ds, None, k_acc, k_next,
+                    params, config, cache, tokens, ds, None,
+                    k_acc, k_next,
                     k=sk, greedy=sampling.temperature == 0.0,
                     temperature=sampling.temperature,
                     top_k=sampling.top_k, top_p=sampling.top_p)
@@ -264,12 +271,28 @@ class ContinuousBatcher:
                     hist = jax.lax.dynamic_update_slice(
                         hist, emit[b][None], (b, hl[b]))
                 hist_len = jnp.minimum(hist_len + a + 1, hw_cap)
-                # tokens rides through as this round's consumed feed token
-                # (emitted on a slot's FIRST round — see step()).
-                return cache, hist, hist_len, tokens, emit, a + 1, nxt, key
+                return cache, hist, hist_len, nxt, key, emit, a + 1
+
+            def spec_chunk_fn(params, cache, hist, hist_len, tokens, key):
+                # params is a jit ARG (closure-capturing self.params at
+                # trace time would bake the weights in as XLA constants —
+                # the axon HTTP-413 trap, CLAUDE.md); the scan body closes
+                # over the traced value, never slices it.
+                def body(carry, _):
+                    cache, hist, hist_len, tok, key = carry
+                    cache, hist, hist_len, nxt, key, emit, n = one_round(
+                        params, cache, hist, hist_len, tok, key)
+                    return (cache, hist, hist_len, nxt, key), (emit, n)
+
+                (cache, hist, hist_len, nxt, key), (emits, ns) = (
+                    jax.lax.scan(body, (cache, hist, hist_len, tokens, key),
+                                 None, length=sr))
+                # tokens rides through as the chunk's first consumed feed
+                # token (emitted on a slot's FIRST round — see step()).
+                return (cache, hist, hist_len, tokens, emits, ns, nxt, key)
 
             self._spec_round = jax.jit(
-                spec_round, donate_argnums=(1, 2),
+                spec_chunk_fn, donate_argnums=(1, 2),
                 out_shardings=(self._cache_fmt,) + (None,) * 7,
             )
             self._hist = jnp.zeros((batch_size, self._hist_cap), jnp.int32)
@@ -405,20 +428,22 @@ class ContinuousBatcher:
                 return
 
     def _step_spec(self, active) -> Dict[int, List[int]]:
-        """One speculative serve round: per-slot ngram proposals + one
-        batched (B, k+1) verify extend, ONE host sync. A slot's first round
-        also emits the prefill-sampled feed token (the normal path emits it
-        as consumed[0] of the first chunk)."""
+        """One speculative serve step: ``spec_chunk`` rounds of per-slot
+        ngram proposals + batched (B, k+1) verify extends, ONE host sync.
+        A slot's first step also emits the prefill-sampled feed token (the
+        normal path emits it as consumed[0] of the first chunk)."""
         t0 = time.perf_counter()
-        (self.cache, self._hist, self._hist_len, consumed0, emit_dev,
-         n_dev, self._tokens, self._key) = self._spec_round(
+        (self.cache, self._hist, self._hist_len, consumed0, emits_dev,
+         ns_dev, self._tokens, self._key) = self._spec_round(
             self.params, self.cache, self._hist, self._hist_len,
             self._tokens, self._key)
-        consumed0, emit, n = jax.device_get((consumed0, emit_dev, n_dev))
+        # emits: (spec_chunk, B, k+1); ns: (spec_chunk, B)
+        consumed0, emits, ns = jax.device_get((consumed0, emits_dev, ns_dev))
+        rounds = emits.shape[0]
         self.metrics.decode_s += time.perf_counter() - t0
-        self.metrics.steps += 1
-        self.metrics.occupied_slot_steps += len(active)
-        self.metrics.spec_rounds += 1
+        self.metrics.steps += rounds
+        self.metrics.occupied_slot_steps += len(active) * rounds
+        self.metrics.spec_rounds += rounds
 
         emitted: Dict[int, List[int]] = {}
         for i, req in active:
@@ -426,8 +451,9 @@ class ContinuousBatcher:
             if req.fresh:
                 toks.append(int(consumed0[i]))
                 req.fresh = False
-            toks += [int(emit[i, j]) for j in range(int(n[i]))]
-            self.metrics.spec_committed += int(n[i])
+            for r in range(rounds):
+                toks += [int(emits[r, i, j]) for j in range(int(ns[r, i]))]
+                self.metrics.spec_committed += int(ns[r, i])
             self._consume(i, req, toks, emitted)
         return emitted
 
