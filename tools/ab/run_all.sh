@@ -20,6 +20,9 @@ say "probe"
 if ! timeout 90 python -c "import jax; d=jax.devices(); assert d[0].platform=='tpu'"; then
   say "TPU unreachable — aborting"; exit 1
 fi
+# One probe for the whole session — skip bench.py's own per-run subprocess
+# probe (~15 s each).
+export ZG2_BENCH_NO_PROBE=1
 
 # 1. Graded headline first (the single most important number), then the
 #    same-session OFF-baseline for attribution (VERDICT item 6).
