@@ -86,7 +86,8 @@ def test_packed_extend_jnp_fallback(cfg):
         assert_logits_close(g, b, msg=f"packed extend jnp: {name}")
 
 
-def test_speculative_packed_draft_greedy_parity(monkeypatch):
+@pytest.mark.parametrize("draft_kv", [None, "int8"])
+def test_speculative_packed_draft_greedy_parity(monkeypatch, draft_kv):
     """End to end: ZG2_SPEC_DRAFT_PACKED=1 (packed draft cache, fused
     kernels in interpret mode) reproduces the unpacked engine's exact
     greedy stream — the speculative correctness contract is layout-
@@ -116,7 +117,8 @@ def test_speculative_packed_draft_greedy_parity(monkeypatch):
     monkeypatch.setenv("ZG2_SPEC_DRAFT_PACKED", "1")
     monkeypatch.setenv("ZG2_FUSED_ATTN", "interpret")
     spec = SpeculativeEngine(tcfg, tparams, dcfg, dparams, k=3, batch_size=B,
-                             max_seq=64, prompt_buckets=(P,))
+                             max_seq=64, prompt_buckets=(P,),
+                             draft_kv_quant=draft_kv)
     assert spec.draft_config.kv_packed, "packed draft opt-in did not apply"
     out = spec.generate_scan(prompts, lens, S,
                              SamplingConfig(temperature=0.0))
