@@ -45,6 +45,7 @@ run 1800 ab_step python tools/ab/ab_step.py 124M 1 int4 int8
 #    exposes the per-round overhead (round_cost = steps/tokens_per_round
 #    relative to the plain bench). Trained-weight speedups = PARITY-style
 #    extrapolation from these + literature acceptance rates.
+run 2400 ab_extend python tools/ab/ab_extend.py 1558M int4 int8 1 512
 run 2400 flagship python bench.py --model 1558M --quant int4 --kv-quant int8
 run 2400 flagship_b16 python bench.py --model 1558M --quant int4 --kv-quant int8 --batch 16
 run 3000 flagship_spec_ngram python bench.py --model 1558M --quant int4 --kv-quant int8 \
