@@ -284,17 +284,25 @@ def main() -> None:
                            spec_chunk=args.decode_chunk)
             args.decode_chunk = 1
 
+        from zig_gpt2_tpu.runtime.batcher import BatcherMetrics
+
+        # ONE batcher reused across repetitions (a drained batcher accepts
+        # new submissions; admissions reset slot state): fresh-batcher-per-
+        # rep meant fresh jit closures, so every repetition recompiled and
+        # the first sync's wall time was compile, not serving.
+        batcher = ContinuousBatcher(
+            config, params, batch_size=args.batch,
+            max_seq=args.prompt_len + args.steps,
+            prompt_buckets=(args.prompt_len,),
+            sampling=SamplingConfig(temperature=0.8, seed=0),
+            kv_quant=args.kv_quant,
+            decode_chunk=args.decode_chunk,
+            mesh=mesh,
+            **spec_kw,
+        )
+
         def run_serve():
-            batcher = ContinuousBatcher(
-                config, params, batch_size=args.batch,
-                max_seq=args.prompt_len + args.steps,
-                prompt_buckets=(args.prompt_len,),
-                sampling=SamplingConfig(temperature=0.8, seed=0),
-                kv_quant=args.kv_quant,
-                decode_chunk=args.decode_chunk,
-                mesh=mesh,
-                **spec_kw,
-            )
+            batcher.metrics = BatcherMetrics()
             r = np.random.default_rng(1)
             for _ in range(args.requests):
                 n = int(r.integers(args.prompt_len // 2, args.prompt_len))
@@ -325,6 +333,8 @@ def main() -> None:
             "unit": "tokens/sec",
             "vs_baseline": round(best / (1000.0 / 28.0), 2),
             "slot_utilization": round(metrics.slot_utilization(args.batch), 3),
+            "sync_ms_p50": round(metrics.sync_ms_percentile(50), 2),
+            "sync_ms_p99": round(metrics.sync_ms_percentile(99), 2),
         }
         if args.speculative:
             line["tokens_per_round"] = round(metrics.tokens_per_round, 2)

@@ -47,6 +47,11 @@ def test_spec_serve_greedy_parity_with_slot_reuse(params, rng, kv_quant):
                     speculative="ngram", spec_k=3)
     assert got == want
     assert m.spec_rounds > 0 and m.spec_committed > 0
+    # Latency observability (SURVEY §5): percentiles populated and ordered.
+    assert m.sync_ms and m.sync_ms_percentile(50) > 0
+    assert m.sync_ms_percentile(99) >= m.sync_ms_percentile(50)
+    assert len(m.request_latency_s) == 5
+    assert m.request_latency_percentile(99) >= m.request_latency_percentile(50) > 0
 
 
 def test_spec_serve_stop_token_mid_round(params, rng):

@@ -56,6 +56,7 @@ class Request:
     # Speculative serve mode: True until the slot's first round emits the
     # prefill-sampled feed token (the normal path emits it as consumed[0]).
     fresh: bool = False
+    submitted_at: float = 0.0  # perf_counter at submit (latency metrics)
 
 
 @dataclass
@@ -71,9 +72,24 @@ class BatcherMetrics:
     occupied_slot_steps: int = 0   # Σ active slots over steps
     spec_rounds: int = 0           # speculative serve: verify rounds run
     spec_committed: int = 0        # … tokens committed by active slots
+    sync_ms: List[float] = field(default_factory=list)   # per-dispatch wall
+    request_latency_s: List[float] = field(default_factory=list)
 
     def slot_utilization(self, batch_size: int) -> float:
         return self.occupied_slot_steps / max(self.steps * batch_size, 1)
+
+    def sync_ms_percentile(self, q: float) -> float:
+        """p50/p99 of one decode dispatch+sync (the serving latency
+        quantum: a streaming client sees one chunk per sync)."""
+        if not self.sync_ms:
+            return 0.0
+        return float(np.percentile(self.sync_ms, q))
+
+    def request_latency_percentile(self, q: float) -> float:
+        """p50/p99 submit->finish wall time per request."""
+        if not self.request_latency_s:
+            return 0.0
+        return float(np.percentile(self.request_latency_s, q))
 
     @property
     def tokens_per_round(self) -> float:
@@ -96,6 +112,12 @@ class BatcherMetrics:
             "tokens_per_sec": round(self.tokens_per_sec, 2),
             "slot_utilization": round(self.slot_utilization(batch_size), 4),
         }
+        if self.sync_ms:
+            d["sync_ms_p50"] = round(self.sync_ms_percentile(50), 3)
+            d["sync_ms_p99"] = round(self.sync_ms_percentile(99), 3)
+        if self.request_latency_s:
+            d["request_s_p50"] = round(self.request_latency_percentile(50), 4)
+            d["request_s_p99"] = round(self.request_latency_percentile(99), 4)
         if self.spec_rounds:
             d["spec_rounds"] = self.spec_rounds
             d["tokens_per_round"] = round(self.tokens_per_round, 2)
@@ -367,7 +389,8 @@ class ContinuousBatcher:
         rid = self._next_rid
         self._next_rid += 1
         self.queue.append(
-            Request(rid, prompt_ids, max_new_tokens, frozenset(stop_tokens))
+            Request(rid, prompt_ids, max_new_tokens, frozenset(stop_tokens),
+                    submitted_at=time.perf_counter())
         )
         return rid
 
@@ -392,7 +415,9 @@ class ContinuousBatcher:
         )
         self.cache = cache
         consumed = np.asarray(consumed_dev)  # (chunk, B) — the one host sync
-        self.metrics.decode_s += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.metrics.decode_s += dt
+        self.metrics.sync_ms.append(dt * 1000.0)
         self.metrics.steps += self.decode_chunk
         self.metrics.occupied_slot_steps += len(active) * self.decode_chunk
 
@@ -440,7 +465,9 @@ class ContinuousBatcher:
         # emits: (spec_chunk, B, k+1); ns: (spec_chunk, B)
         consumed0, emits, ns = jax.device_get((consumed0, emits_dev, ns_dev))
         rounds = emits.shape[0]
-        self.metrics.decode_s += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.metrics.decode_s += dt
+        self.metrics.sync_ms.append(dt * 1000.0)
         self.metrics.steps += rounds
         self.metrics.occupied_slot_steps += len(active) * rounds
         self.metrics.spec_rounds += rounds
@@ -605,4 +632,7 @@ class ContinuousBatcher:
         req.slot = None
         self.slots[slot] = None
         self.metrics.requests_finished += 1
+        if req.submitted_at:
+            self.metrics.request_latency_s.append(
+                time.perf_counter() - req.submitted_at)
         self.finished.append(req)
