@@ -128,6 +128,59 @@ def test_spec_serve_constructor_guards(params):
                           speculative="124M")
 
 
+def test_spec_serve_mesh_greedy_parity(params, rng):
+    """Speculative serving under a (2, 4) mesh — GSPMD partitions the
+    extend-based round from the cache/history shardings (no step-SPMD) —
+    matches meshless plain serving token for token."""
+    from zig_gpt2_tpu.parallel import mesh as pmesh
+
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, n))
+               for n in (3, 7, 5)]
+    want, _ = _serve(params, prompts, 8, batch_size=2)
+    got, m = _serve(params, prompts, 8, batch_size=2,
+                    speculative="ngram", spec_k=3,
+                    mesh=pmesh.make_mesh(2, 4))
+    assert got == want
+    assert m.spec_rounds > 0
+
+
+def test_spec_serve_mesh_quantized_sharded_kernels(params, rng, monkeypatch):
+    """INT8 weights + INT8 KV spec serving on a 1x8 mesh with the op-level
+    shard_map kernels forced (interpret on CPU): the verify extend's GEMVs
+    run through qmm_sharded — parity vs the meshless quantized serve."""
+    from zig_gpt2_tpu.parallel import mesh as pmesh
+    from zig_gpt2_tpu.parallel import sharding as psh
+    from zig_gpt2_tpu.quant import quantize as q
+
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, n))
+               for n in (4, 6)]
+    padded, cfg = psh.pad_for_tp(params, GPT2_NANO, 8)
+    qparams = q.quantize_params(padded, mode="int8", tp=8)
+
+    import dataclasses
+
+    base_cfg = dataclasses.replace(cfg, spmd=False)
+    b = ContinuousBatcher(base_cfg, qparams, batch_size=2, max_seq=64,
+                          prompt_buckets=(16,), sampling=GREEDY,
+                          kv_quant="int8")
+    rids = [b.submit(p, max_new_tokens=6) for p in prompts]
+    done = b.run()
+    want = [{r.rid: r.generated for r in done}[r] for r in rids]
+
+    monkeypatch.setenv("ZG2_SPMD_KERNELS", "interpret")
+    mesh = pmesh.make_mesh(1, 8)
+    sharded = jax.device_put(
+        qparams, pmesh.param_shardings(mesh, cfg, qparams))
+    b2 = ContinuousBatcher(cfg, sharded, batch_size=2, max_seq=64,
+                           prompt_buckets=(16,), sampling=GREEDY,
+                           kv_quant="int8", mesh=mesh,
+                           speculative="ngram", spec_k=3)
+    rids2 = [b2.submit(p, max_new_tokens=6) for p in prompts]
+    done2 = b2.run()
+    got = [{r.rid: r.generated for r in done2}[r] for r in rids2]
+    assert got == want
+
+
 def test_spec_serve_temperature_runs(params, rng):
     """Sampled mode executes end to end (law-level exactness is pinned by
     the engine's distribution tests on the shared core); budgets hold."""
