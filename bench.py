@@ -47,6 +47,21 @@ def _probe_backend(timeout_s: float = 150.0) -> str | None:
     return None
 
 
+def _backend_initialized() -> bool:
+    """True when a jax backend already exists in THIS process (the
+    in-process test path) — a subprocess probe would not inherit
+    programmatic jax.config platform overrides, and an initialized
+    backend means device access already succeeded anyway. Merely having
+    ``jax`` in sys.modules is NOT enough: the package imports pull it in
+    without touching any device."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:
+        return False
+
+
 def _emit_failure(reason: str) -> None:
     """One parseable JSON line instead of a traceback (VERDICT r03 item 5)."""
     print(json.dumps({
@@ -88,6 +103,9 @@ def main() -> None:
                         "(runtime/speculative.py; --mode decode, no --mesh)")
     p.add_argument("--spec-k", type=int, default=4,
                    help="draft tokens per speculative round")
+    p.add_argument("--spec-chunk", type=int, default=1,
+                   help="speculative serve: rounds per host sync "
+                        "(--mode serve --speculative ngram)")
     p.add_argument("--spec-quant", default=None,
                    choices=["int8", "int4"],
                    help="weight quantization for the DRAFT model")
@@ -113,11 +131,13 @@ def main() -> None:
     # test path — a subprocess wouldn't inherit programmatic jax.config
     # platform overrides) or via ZG2_BENCH_NO_PROBE=1 (tight A/B loops).
     if (os.environ.get("ZG2_BENCH_NO_PROBE", "0") != "1"
-            and "jax" not in sys.modules):
+            and not _backend_initialized()):
         reason = _probe_backend()
         if reason is not None:
+            # Same contract as the __main__ handler: parseable line AND a
+            # nonzero exit, whichever layer detects the outage.
             _emit_failure(reason)
-            return
+            sys.exit(1)
 
     import jax
     import jax.numpy as jnp
@@ -167,12 +187,11 @@ def main() -> None:
 
     if args.speculative and args.mode == "serve":
         # Serve-mode speculation is draft-free prompt lookup inside the
-        # batcher (runtime/batcher.py _step_spec) — handled below.
+        # batcher (runtime/batcher.py _step_spec) — handled below. Works
+        # under --mesh too (GSPMD partitions the extend-based round).
         if args.speculative != "ngram":
             raise SystemExit("--mode serve --speculative supports only "
                              "'ngram' (draft-free prompt lookup)")
-        if args.mesh:
-            raise SystemExit("speculative serve is single-device (v1)")
     elif args.speculative:
         if args.mesh or args.mode not in ("decode", "stream"):
             raise SystemExit("--speculative is --mode decode/stream/serve, "
@@ -278,10 +297,12 @@ def main() -> None:
 
         spec_kw = {}
         if args.speculative:
-            # Rounds replace chunking: --decode-chunk N becomes N rounds
-            # per sync, each committing up to spec_k+1 tokens.
+            # Rounds replace chunking: --spec-chunk N runs N rounds per
+            # sync, each committing up to spec_k+1 tokens. (NOT inherited
+            # from --decode-chunk — its default of 8 would silently make
+            # the unlabeled spec runs the MORE-chunked variant.)
             spec_kw = dict(speculative="ngram", spec_k=args.spec_k,
-                           spec_chunk=args.decode_chunk)
+                           spec_chunk=args.spec_chunk)
             args.decode_chunk = 1
 
         from zig_gpt2_tpu.runtime.batcher import BatcherMetrics
@@ -328,6 +349,8 @@ def main() -> None:
             + (f"_kv{args.kv_quant}" if args.kv_quant else "")
             + (f"_spec{args.speculative}_k{args.spec_k}"
                if args.speculative else "")
+            + (f"_chunk{args.spec_chunk}"
+               if args.speculative and args.spec_chunk > 1 else "")
             + f"_serve_slots{args.batch}_tokens_per_sec",
             "value": round(best, 2),
             "unit": "tokens/sec",

@@ -7,6 +7,10 @@ Must set env before the first jax import.
 
 import os
 
+# bench.py's unreachable-TPU subprocess probe can't see the programmatic
+# platform override below — skip it for every in-process bench test.
+os.environ.setdefault("ZG2_BENCH_NO_PROBE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

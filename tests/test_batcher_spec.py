@@ -74,19 +74,30 @@ def test_spec_serve_stop_token_mid_round(params, rng):
 
 
 def test_spec_serve_accepts_on_repetition(params):
-    """A periodic prompt drives the model into a repetition loop the ngram
-    lookup can ride: tokens_per_round must exceed 1 (real acceptance)."""
-    loop = [7, 11, 13] * 5  # period-3 prompt
-    got, m = _serve(params, [loop], 24, batch_size=1,
+    """The ngram lookup must really accept on a looping stream:
+    tokens_per_round > 1. Random weights may or may not settle into a
+    repetition loop for any one prompt, so SEARCH a handful of seeded
+    prompts for one whose plain greedy stream provably loops, then assert
+    acceptance there — a regression that kills lookup acceptance (tpr
+    pinned at 1.0) cannot slip through a vacuous guard."""
+    looping = None
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        prompt = list(r.integers(0, GPT2_NANO.vocab_size, 3)) * 5
+        want, _ = _serve(params, [prompt], 24, batch_size=1)
+        stream = want[0]
+        if stream[-3:] == stream[-6:-3] == stream[-9:-6]:
+            looping = (prompt, want)
+            break
+    assert looping is not None, (
+        "no seeded prompt produced a looping greedy stream — pick new "
+        "seeds so the acceptance assertion stays live")
+    prompt, want = looping
+    got, m = _serve(params, [prompt], 24, batch_size=1,
                     speculative="ngram", spec_k=3, spec_ngram=2)
-    want, _ = _serve(params, [loop], 24, batch_size=1)
     assert got == want
-    # Random weights may or may not loop — only assert acceptance when the
-    # stream itself is periodic; but the telemetry must always be sane.
     assert 1.0 <= m.tokens_per_round <= 4.0
-    stream = got[0]
-    if stream[-3:] == stream[-6:-3]:  # the stream did settle into a loop
-        assert m.tokens_per_round > 1.0, m.as_dict(1)
+    assert m.tokens_per_round > 1.0, m.as_dict(1)
 
 
 @pytest.mark.parametrize("spec_chunk", [2, 3])

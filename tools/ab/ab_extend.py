@@ -17,6 +17,7 @@ Usage: python tools/ab/ab_extend.py [model] [quant] [kv_quant] [batch] [S]
 Defaults: 1558M int4 int8 1 512.
 """
 import functools
+import os
 import sys
 import time
 
@@ -37,7 +38,10 @@ QUANT = sys.argv[2] if len(sys.argv) > 2 else "int4"
 KV = sys.argv[3] if len(sys.argv) > 3 else "int8"
 B = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 S = int(sys.argv[5]) if len(sys.argv) > 5 else 512
-ITERS = 50
+# n >= 2000 inside ONE scan (CLAUDE.md): the fixed ~30-40 ms dispatch+sync
+# must amortize to < 0.1% of even a ~1 ms (124M) per-iteration op, or the
+# breakeven ratio is biased toward 1 by (e+c)/(d+c).
+ITERS = int(os.environ.get("ZG2_AB_ITERS", "2000"))
 MAX_T = 64 // B  # the stacked-GEMV 64-row bound
 
 config = get_config(MODEL)
@@ -67,7 +71,7 @@ def timed(fn, *args):
     out = fn(*args)  # compile + warm
     np.asarray(jax.tree.leaves(out)[0])
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):  # ITERS=2000 already averages; 2 reps guard drift
         t0 = time.perf_counter()
         out = fn(*args)
         np.asarray(jax.tree.leaves(out)[0])

@@ -65,7 +65,7 @@ run 1800 serve16 python bench.py --mode serve --batch 16 --requests 64
 run 1800 serve16_spec_ngram python bench.py --mode serve --batch 16 --requests 64 \
     --speculative ngram --spec-k 3
 run 1800 serve16_spec_chunk4 python bench.py --mode serve --batch 16 --requests 64 \
-    --speculative ngram --spec-k 3 --decode-chunk 4
+    --speculative ngram --spec-k 3 --spec-chunk 4
 run 2400 serve16_spec_flagship python bench.py --model 1558M --quant int4 --kv-quant int8 \
     --mode serve --batch 16 --requests 48 --speculative ngram --spec-k 3
 

@@ -168,14 +168,18 @@ def shard_params(params, mesh: Mesh, config: GPTConfig):
 
 
 def prepare_serving(params, config: GPTConfig, mesh: Optional[Mesh],
-                    batch_size: int):
+                    batch_size: int, step_spmd_ok: bool = True):
     """Shared InferenceEngine/ContinuousBatcher constructor policy (one
     place so engine and batcher can never drift): land the mesh in the
     config — padding/placing the params if the caller hasn't (pad_for_tp
     sets spmd but not mesh; without the mesh every mesh-aware kernel
     dispatch silently disengages) — validate the data-parallel batch
     split, re-place the step-level-path leaves, and decide the packed
-    KV-cache layout. Returns ``(params, config)``."""
+    KV-cache layout. Returns ``(params, config)``.
+
+    ``step_spmd_ok=False``: the caller will not run the step-level decode
+    path (e.g. the batcher's speculative serve mode, which is GSPMD
+    extend-based) — keep the op-level Megatron placement for every leaf."""
     import dataclasses
 
     from zig_gpt2_tpu.models import gpt2 as _gpt2
@@ -192,7 +196,7 @@ def prepare_serving(params, config: GPTConfig, mesh: Optional[Mesh],
                 f"batch_size {batch_size} not divisible by data-parallel "
                 f"degree {dp} (mesh {dict(mesh.shape)})"
             )
-        if step_spmd.enabled(config):
+        if step_spmd_ok and step_spmd.enabled(config):
             # Step-level decode wants a couple of leaves placed differently
             # from the op-level Megatron layout (INT4 row-parallel scales);
             # no-op otherwise.

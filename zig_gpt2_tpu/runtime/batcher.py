@@ -70,8 +70,9 @@ class BatcherMetrics:
     decode_s: float = 0.0          # wall time inside batched decode steps
     prefill_s: float = 0.0         # wall time inside admissions
     occupied_slot_steps: int = 0   # Σ active slots over steps
-    spec_rounds: int = 0           # speculative serve: verify rounds run
-    spec_committed: int = 0        # … tokens committed by active slots
+    spec_rounds: int = 0           # speculative serve: device rounds run
+    spec_slot_rounds: int = 0      # … (live slot, round) pairs consumed
+    spec_committed: int = 0        # … tokens committed in those pairs
     sync_ms: List[float] = field(default_factory=list)   # per-dispatch wall
     request_latency_s: List[float] = field(default_factory=list)
 
@@ -93,9 +94,12 @@ class BatcherMetrics:
 
     @property
     def tokens_per_round(self) -> float:
-        """Speculative serve acceptance telemetry (≈1 means lookup never
-        hits; k+1 is the ceiling)."""
-        return self.spec_committed / max(self.spec_rounds, 1)
+        """Speculative serve acceptance telemetry: committed tokens per
+        (live slot, round) — ≈1 means lookup never hits; k+1 is the
+        ceiling. Rounds a slot sat retired through (mid-chunk overshoot)
+        are excluded from BOTH numerator and denominator, so this is the
+        real per-lane acceptance, not garbage-lane self-agreement."""
+        return self.spec_committed / max(self.spec_slot_rounds, 1)
 
     @property
     def tokens_per_sec(self) -> float:
@@ -160,21 +164,22 @@ class ContinuousBatcher:
         per round. Exactness per slot is the standard
         accept/residual-resample law (runtime/speculative.py — the core is
         shared code). No draft model, no second cache: memory cost is one
-        (B, ~max_seq) int32 history. Single-device only (extend's scope);
-        decode_chunk must stay 1 (rounds are the sync amortizer:
-        spec_chunk rounds x up to k+1 tokens per host round-trip, with
-        chunk-granular stop/budget checks like decode_chunk)."""
+        (B, ~max_seq) int32 history. Works under a mesh: the round is
+        plain jnp, so GSPMD partitions it from the cache/history shardings
+        (dp-sharded history, head-sharded cache; the op-level shard_map
+        GEMV kernels still apply inside extend — no step-SPMD chunk in
+        this mode). decode_chunk must stay 1 (rounds are the sync
+        amortizer: spec_chunk rounds x up to k+1 tokens per host
+        round-trip, with chunk-granular stop/budget checks like
+        decode_chunk)."""
         from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
-        params, config = prepare_serving(params, config, mesh, batch_size)
         self._spec = None
         if speculative is not None:
             if speculative != "ngram":
                 raise ValueError(
                     "serve-mode speculation is draft-free prompt lookup "
                     f"only (speculative='ngram'), got {speculative!r}")
-            if mesh is not None or config.spmd:
-                raise ValueError("speculative serve is single-device (v1)")
             if decode_chunk != 1:
                 raise ValueError("speculative serve replaces decode_chunk "
                                  "(a round commits up to spec_k+1 tokens "
@@ -186,16 +191,23 @@ class ContinuousBatcher:
                     f"batch_size*(spec_k+1) = {batch_size * (spec_k + 1)} "
                     "exceeds the 64-row stacked-GEMV kernel bound "
                     "(CLAUDE.md invariants) — lower spec_k or batch_size")
+            self._spec = (spec_k, max(int(spec_ngram), 1),
+                          max(int(spec_chunk), 1))
+
+        # Speculative serve under a mesh rides GSPMD: the round is plain
+        # jnp (extend + acceptance + history ops), so GSPMD partitions it
+        # from the cache/history shardings — no step-SPMD chunk, and the
+        # op-level Megatron placement is kept for every leaf.
+        params, config = prepare_serving(params, config, mesh, batch_size,
+                                         step_spmd_ok=self._spec is None)
+        if self._spec is not None and config.kv_packed:
             # The cache only ever sees prefill + extend in this mode (no
             # decode_step runs), so the packed layout would be pure
             # unpack-view cost — keep it unpacked (the layout table in
             # CLAUDE.md: extend-only caches stay unpacked).
-            if config.kv_packed:
-                import dataclasses
+            import dataclasses
 
-                config = dataclasses.replace(config, kv_packed=False)
-            self._spec = (spec_k, max(int(spec_ngram), 1),
-                          max(int(spec_chunk), 1))
+            config = dataclasses.replace(config, kv_packed=False)
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -313,12 +325,28 @@ class ContinuousBatcher:
                 # token (emitted on a slot's FIRST round — see step()).
                 return (cache, hist, hist_len, tokens, emits, ns, nxt, key)
 
-            self._spec_round = jax.jit(
-                spec_chunk_fn, donate_argnums=(1, 2),
-                out_shardings=(self._cache_fmt,) + (None,) * 7,
-            )
             self._hist = jnp.zeros((batch_size, self._hist_cap), jnp.int32)
             self._hist_len = jnp.zeros((batch_size,), jnp.int32)
+            hs2 = hs1 = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from zig_gpt2_tpu.parallel import mesh as pmesh
+
+                # History rides batch-sharded on the data axis; pin the
+                # round's carry outputs so the placement is stable across
+                # steps (the same rule as the cache fmt).
+                hs2 = NamedSharding(mesh, P(pmesh.DATA_AXIS, None))
+                hs1 = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+                self._hist = jax.device_put(self._hist, hs2)
+                self._hist_len = jax.device_put(self._hist_len, hs1)
+            self._hist_fmt = (hs2, hs1)
+            self._spec_round = jax.jit(
+                spec_chunk_fn, donate_argnums=(1, 2),
+                # (cache, hist, hist_len, tokens0, emits, ns, nxt, key)
+                out_shardings=(self._cache_fmt, hs2, hs1, hs1,
+                               None, None, hs1, None),
+            )
             decode_sample = None
         elif step_spmd.enabled(config):
             # Whole chunk in ONE manual-SPMD region (see parallel/step_spmd).
@@ -474,14 +502,23 @@ class ContinuousBatcher:
 
         emitted: Dict[int, List[int]] = {}
         for i, req in active:
-            toks = []
             if req.fresh:
-                toks.append(int(consumed0[i]))
                 req.fresh = False
+                self._consume(i, req, [int(consumed0[i])], emitted)
+            # Round by round so acceptance telemetry counts only rounds
+            # the slot was still live for — a slot retired in round 1 of
+            # a chunk keeps committing garbage on device for rounds 2..R,
+            # and counting those (garbage lanes often self-accept) would
+            # inflate tokens_per_round, the speculation-breakeven number.
             for r in range(rounds):
-                toks += [int(emits[r, i, j]) for j in range(int(ns[r, i]))]
-                self.metrics.spec_committed += int(ns[r, i])
-            self._consume(i, req, toks, emitted)
+                if req.done:
+                    break
+                n = int(ns[r, i])
+                self.metrics.spec_slot_rounds += 1
+                self.metrics.spec_committed += n
+                self._consume(i, req,
+                              [int(emits[r, i, j]) for j in range(n)],
+                              emitted)
         return emitted
 
     def run(self) -> List[Request]:
@@ -559,7 +596,7 @@ class ContinuousBatcher:
         fn = jax.jit(
             prefill_insert, donate_argnums=(1, 6) + ((8,) if spec else ()),
             out_shardings=(self._cache_fmt, None, None)
-            + ((None, None) if spec else ()),
+            + (self._hist_fmt if spec else ()),
         )
         self._prefill_inserts[k] = fn
         return fn
