@@ -192,6 +192,37 @@ def test_spec_serve_mesh_quantized_sharded_kernels(params, rng, monkeypatch):
     assert got == want
 
 
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_spec_serve_randomized_lifecycle_parity(params, kv_quant):
+    """Seeded stress: 12 requests with random prompt lengths (including
+    length-1, which exercises the hist_len>ngram lookup guard), random
+    budgets (including 1), and random stop tokens, streamed through 3
+    slots with spec_chunk=2 — exact greedy parity with plain serving
+    through every admission/retirement edge."""
+    r = np.random.default_rng(42)
+    reqs = []
+    for _ in range(12):
+        n = int(r.integers(1, 15))
+        prompt = list(r.integers(0, GPT2_NANO.vocab_size, n))
+        budget = int(r.integers(1, 10))
+        stops = tuple(r.integers(0, GPT2_NANO.vocab_size,
+                                 int(r.integers(0, 3))))
+        reqs.append((prompt, budget, stops))
+
+    def run(**kw):
+        b = ContinuousBatcher(GPT2_NANO, params, batch_size=3, max_seq=64,
+                              prompt_buckets=(16,), sampling=GREEDY,
+                              kv_quant=kv_quant, **kw)
+        rids = [b.submit(p, max_new_tokens=m, stop_tokens=s)
+                for p, m, s in reqs]
+        by = {q.rid: q.generated for q in b.run()}
+        return [by[i] for i in rids]
+
+    want = run()
+    got = run(speculative="ngram", spec_k=2, spec_chunk=2)
+    assert got == want
+
+
 def test_spec_serve_temperature_runs(params, rng):
     """Sampled mode executes end to end (law-level exactness is pinned by
     the engine's distribution tests on the shared core); budgets hold."""
