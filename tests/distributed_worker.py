@@ -87,10 +87,40 @@ def main() -> None:
         del os.environ["ZG2_STEP_SPMD"]
     assert step_tokens == tokens, (step_tokens, tokens)
 
+    # 4. Multi-process SERVING (SURVEY §7 hard part 5): the continuous
+    # batcher's host-side scheduler runs in BOTH processes — identical
+    # submissions -> identical (replicated, dp=1) device results ->
+    # identical admissions/retirements — while every decode chunk's
+    # collectives cross the process boundary in lockstep.
+    from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
+
+    batcher = ContinuousBatcher(
+        GPT2_NANO, params, batch_size=2, max_seq=32, prompt_buckets=(8,),
+        sampling=SamplingConfig(temperature=0.0), mesh=mesh)
+    for i in range(3):  # 3 requests / 2 slots: a refill crosses a step
+        batcher.submit([1 + i, 2, 3], max_new_tokens=4)
+    bdone = batcher.run()
+    assert len(bdone) == 3 and all(len(r.generated) == 4 for r in bdone)
+    serve_tokens = {tuple(r.prompt_ids): tuple(r.generated) for r in bdone}
+
+    # 5. Speculative serving cross-process: the GSPMD extend round's
+    # collectives span both processes; streams must match plain serving.
+    spec = ContinuousBatcher(
+        GPT2_NANO, params, batch_size=2, max_seq=32, prompt_buckets=(8,),
+        sampling=SamplingConfig(temperature=0.0), mesh=mesh,
+        speculative="ngram", spec_k=2)
+    for i in range(3):
+        spec.submit([1 + i, 2, 3], max_new_tokens=4)
+    sdone = spec.run()
+    spec_tokens = {tuple(r.prompt_ids): tuple(r.generated) for r in sdone}
+    assert spec_tokens == serve_tokens, (spec_tokens, serve_tokens)
+
     if process_id == 0:
         with open(outfile, "w") as f:
             json.dump({"psum": psum_val, "tokens": tokens,
-                       "step_tokens": step_tokens}, f)
+                       "step_tokens": step_tokens,
+                       "serve": sorted(map(list, serve_tokens.values())),
+                       "spec_rounds": spec.metrics.spec_rounds}, f)
     print(f"proc {process_id}: OK tokens={tokens}", flush=True)
 
 

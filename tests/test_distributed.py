@@ -73,3 +73,17 @@ def test_two_process_psum_and_sharded_decode(tmp_path):
     want = engine.generate([1, 2, 3, 4], max_new_tokens=6,
                            sampling=SamplingConfig(temperature=0.0))
     assert got["tokens"] == want, (got["tokens"], want)
+
+    # Multi-process serving parity: the 2-process batcher streams (plain
+    # == speculative, asserted inside the worker) must equal the meshless
+    # single-process batcher's, request for request.
+    from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
+
+    b = ContinuousBatcher(GPT2_NANO, params, batch_size=2, max_seq=32,
+                          prompt_buckets=(8,),
+                          sampling=SamplingConfig(temperature=0.0))
+    for i in range(3):
+        b.submit([1 + i, 2, 3], max_new_tokens=4)
+    want_serve = sorted(r.generated for r in b.run())
+    assert got["serve"] == want_serve, (got["serve"], want_serve)
+    assert got["spec_rounds"] > 0
