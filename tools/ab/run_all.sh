@@ -48,6 +48,15 @@ run 1800 ab_step python tools/ab/ab_step.py 124M 1 int4 int8
 run 2400 ab_extend python tools/ab/ab_extend.py 1558M int4 int8 1 512
 run 2400 flagship python bench.py --model 1558M --quant int4 --kv-quant int8
 run 2400 flagship_b16 python bench.py --model 1558M --quant int4 --kv-quant int8 --batch 16
+# Long-ctx (S=1152, multi-chunk attention): packed halves the kernel's f32
+# temporaries, which may re-admit bc>1 there (ZG2_ATTN_MC_FOLD) — the two
+# round-2 OOM readings predate the packed layout. Expect possible rc!=0
+# (scoped-VMEM OOM) on the MC_FOLD leg; that is the measurement.
+run 2400 flagship_longctx python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --batch 16 --prompt-len 896 --steps 256
+run 2400 flagship_longctx_mcfold env ZG2_ATTN_MC_FOLD=1 \
+    python bench.py --model 1558M --quant int4 --kv-quant int8 \
+    --batch 16 --prompt-len 896 --steps 256
 run 3000 flagship_spec_ngram python bench.py --model 1558M --quant int4 --kv-quant int8 \
     --speculative ngram --spec-k 4
 run 3000 flagship_spec_draft python bench.py --model 1558M --quant int4 --kv-quant int8 \

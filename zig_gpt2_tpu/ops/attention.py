@@ -136,7 +136,11 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
             # chunk's bigger per-cell blocks leave no headroom (measured
             # 17.2M > 16M at 1.5B ctx 1152, bc=4·sc=128 AND bc=2·sc=256);
             # single-chunk bc=2 at sc<=320 is proven on hardware.
-            if bc > 1:
+            # ZG2_ATTN_MC_FOLD=1 re-opens the config for A/B: those OOM
+            # measurements predate the head-pair-packed layout, which
+            # halves the live temporaries (h -> h/2 at 128 lanes) and may
+            # now leave headroom — unmeasured, so default off.
+            if bc > 1 and os.environ.get("ZG2_ATTN_MC_FOLD", "0") != "1":
                 continue
             # Half budget for multi-chunk blocks: the scratch-carry path
             # keeps ~10.7 MB of inner-loop state live (measured: 17.2 MB
