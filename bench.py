@@ -106,6 +106,13 @@ def main() -> None:
     p.add_argument("--spec-chunk", type=int, default=1,
                    help="speculative serve: rounds per host sync "
                         "(--mode serve --speculative ngram)")
+    p.add_argument("--prefix-len", type=int, default=0,
+                   help="serve: every request's prompt starts with a "
+                        "shared N-token prefix, registered in the prefix "
+                        "cache (suffix-only admissions)")
+    p.add_argument("--no-prefix-cache", action="store_true",
+                   help="with --prefix-len: same shared-prefix workload "
+                        "WITHOUT registering it (the A/B baseline)")
     p.add_argument("--spec-quant", default=None,
                    choices=["int8", "int4"],
                    help="weight quantization for the DRAFT model")
@@ -322,13 +329,26 @@ def main() -> None:
             **spec_kw,
         )
 
+        shared_prefix = []
+        if args.prefix_len:
+            if args.prefix_len >= args.prompt_len:
+                raise SystemExit("--prefix-len must be < --prompt-len")
+            pr = np.random.default_rng(7)
+            shared_prefix = list(pr.integers(0, config.vocab_size,
+                                             args.prefix_len))
+            if not args.no_prefix_cache:
+                batcher.register_prefix(shared_prefix)
+
         def run_serve():
             batcher.metrics = BatcherMetrics()
             r = np.random.default_rng(1)
             for _ in range(args.requests):
-                n = int(r.integers(args.prompt_len // 2, args.prompt_len))
+                lo = max(args.prefix_len + 1, args.prompt_len // 2)
+                n = int(r.integers(lo, args.prompt_len))
+                prompt = shared_prefix + list(
+                    r.integers(0, config.vocab_size, n - args.prefix_len))
                 batcher.submit(
-                    list(r.integers(0, config.vocab_size, n)),
+                    prompt,
                     max_new_tokens=int(r.integers(args.steps // 2, args.steps)),
                 )
             t0 = time.perf_counter()
@@ -351,6 +371,8 @@ def main() -> None:
                if args.speculative else "")
             + (f"_chunk{args.spec_chunk}"
                if args.speculative and args.spec_chunk > 1 else "")
+            + (f"_prefix{args.prefix_len}" if args.prefix_len else "")
+            + ("_nocache" if args.prefix_len and args.no_prefix_cache else "")
             + f"_serve_slots{args.batch}_tokens_per_sec",
             "value": round(best, 2),
             "unit": "tokens/sec",
@@ -361,6 +383,10 @@ def main() -> None:
         }
         if args.speculative:
             line["tokens_per_round"] = round(metrics.tokens_per_round, 2)
+        if args.prefix_len:
+            # Admission wall time is what the prefix cache buys.
+            line["prefill_s"] = round(metrics.prefill_s, 3)
+            line["prefix_hits"] = metrics.prefix_hits
         print(json.dumps(line))
         return
 

@@ -71,6 +71,9 @@ run 900 stream_chunk1 python bench.py --mode stream --stream-chunk 1 --steps 64
 run 900 stream_chunk8 python bench.py --mode stream --stream-chunk 8 --steps 64
 run 900 stream_spec_ngram python bench.py --mode stream --speculative ngram --spec-k 4 --steps 64
 run 1800 serve16 python bench.py --mode serve --batch 16 --requests 64
+run 1800 serve16_prefix python bench.py --mode serve --batch 16 --requests 64 --prefix-len 48
+run 1800 serve16_prefix_off python bench.py --mode serve --batch 16 --requests 64 \
+    --prefix-len 48 --no-prefix-cache
 run 1800 serve16_spec_ngram python bench.py --mode serve --batch 16 --requests 64 \
     --speculative ngram --spec-k 3
 run 1800 serve16_spec_chunk4 python bench.py --mode serve --batch 16 --requests 64 \

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "continuous-batching scheduler instead of a single prompt")
     p.add_argument("--batch-slots", type=int, default=8,
                    help="decode slots for --batch-file serving")
+    p.add_argument("--prefix", default=None, metavar="TEXT",
+                   help="--batch-file: register TEXT as a shared prompt "
+                        "prefix (system prompt) in the KV prefix cache — "
+                        "prompts starting with it admit by splicing the "
+                        "stored rows and computing only their suffix")
     p.add_argument("--decode-chunk", type=int, default=None,
                    help="on-device decode steps per host sync (streaming and "
                         "batch modes; default: 8 on TPU for streaming, 1 on "
@@ -302,6 +307,8 @@ def main(argv=None) -> None:
             decode_chunk=1 if spec_serve else (args.decode_chunk or 1),
             mesh=mesh, **spec_kw,
         )
+        if args.prefix:
+            batcher.register_prefix(encoder.encode(args.prefix))
         rid_to_prompt = {
             batcher.submit(encoder.encode(p), args.max_tokens, stop_tokens): p
             for p in prompts

@@ -70,6 +70,8 @@ class BatcherMetrics:
     decode_s: float = 0.0          # wall time inside batched decode steps
     prefill_s: float = 0.0         # wall time inside admissions
     occupied_slot_steps: int = 0   # Σ active slots over steps
+    prefix_hits: int = 0           # admissions served from the prefix cache
+    prefill_tokens_saved: int = 0  # prompt rows NOT recomputed on hits
     spec_rounds: int = 0           # speculative serve: device rounds run
     spec_slot_rounds: int = 0      # … (live slot, round) pairs consumed
     spec_committed: int = 0        # … tokens committed in those pairs
@@ -122,6 +124,9 @@ class BatcherMetrics:
         if self.request_latency_s:
             d["request_s_p50"] = round(self.request_latency_percentile(50), 4)
             d["request_s_p99"] = round(self.request_latency_percentile(99), 4)
+        if self.prefix_hits:
+            d["prefix_hits"] = self.prefix_hits
+            d["prefill_tokens_saved"] = self.prefill_tokens_saved
         if self.spec_rounds:
             d["spec_rounds"] = self.spec_rounds
             d["tokens_per_round"] = round(self.tokens_per_round, 2)
@@ -271,6 +276,11 @@ class ContinuousBatcher:
         self._cache_dtype = cache_dtype
         # Jitted k-slot admission fns, keyed by k (see _get_prefill_insert).
         self._prefill_inserts: Dict[int, Any] = {}
+        # Prefix cache (register_prefix): [(token tuple, stored B=1 cache)],
+        # longest first, plus the jitted register/insert fns.
+        self._prefixes: List[tuple] = []
+        self._prefix_prefills: Dict[int, Any] = {}
+        self._prefix_inserts: Dict[int, Any] = {}
 
         chunk = self.decode_chunk
         from zig_gpt2_tpu.parallel import step_spmd
@@ -421,6 +431,75 @@ class ContinuousBatcher:
                     submitted_at=time.perf_counter())
         )
         return rid
+
+    def register_prefix(self, prefix_ids: Sequence[int]) -> None:
+        """Precompute and keep the KV rows of a shared prompt PREFIX (e.g.
+        a system prompt). Later submissions whose prompt shares a leading
+        run of tokens with a registered prefix admit by SPLICING the
+        stored rows and computing only the suffix (one B=1 ``gpt2.extend``
+        — suffix-length FLOPs instead of full-prompt FLOPs). Partial
+        overlaps reuse the shared leading rows (causality: row i depends
+        only on tokens [0, i]). HBM cost: one slot-sized cache per
+        registered prefix. Output is unchanged — admission-path parity is
+        pinned by tests/test_batcher_prefix.py."""
+        import functools
+
+        prefix_ids = list(prefix_ids)
+        if not prefix_ids:
+            raise ValueError("prefix must contain at least one token")
+        if len(prefix_ids) > max(self.prompt_buckets):
+            raise ValueError(
+                f"prefix length {len(prefix_ids)} exceeds the largest "
+                f"prompt bucket {max(self.prompt_buckets)}")
+        n = len(prefix_ids)
+        bucket = _bucket(n, self.prompt_buckets)
+        fn = self._prefix_prefills.get(bucket)
+        if fn is None:
+            slot_fmt = self._slot_shardings
+            if slot_fmt is None and not self.config.spmd:
+                slot_fmt = cache_formats(jax.eval_shape(
+                    lambda: gpt2.init_kv_cache(
+                        self.config, 1, self._cache_rows,
+                        dtype=self._cache_dtype, quant=self.kv_quant)))
+            fn = jax.jit(
+                functools.partial(gpt2.prefill, config=self.config),
+                donate_argnums=(1,), out_shardings=(slot_fmt, None))
+            self._prefix_prefills[bucket] = fn
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = prefix_ids
+        init = gpt2.init_kv_cache(self.config, 1, self._cache_rows,
+                                  dtype=self._cache_dtype,
+                                  quant=self.kv_quant)
+        if self._slot_shardings is not None:
+            init = jax.device_put(init, self._slot_shardings)
+        pre, _ = fn(self.params, init, jnp.asarray(toks),
+                    jnp.asarray([n], jnp.int32))
+        self._prefixes.append((tuple(prefix_ids), pre))
+        self._prefixes.sort(key=lambda t: -len(t[0]))  # longest match first
+
+    def _match_prefix(self, prompt: List[int]):
+        """Longest usable stored-prefix overlap for ``prompt``, or None.
+        ``usable`` is capped at len(prompt)-1 so at least one suffix token
+        remains to produce sampling logits."""
+        best = None
+        for ptoks, pre in self._prefixes:
+            cap = min(len(ptoks), len(prompt) - 1)
+            k = 0
+            while k < cap and prompt[k] == ptoks[k]:
+                k += 1
+            # The suffix extend writes a full BUCKET-padded window at row
+            # k; if k + bucket overflows the cache rows, the update-slice
+            # clamp would shift the window backward over valid prefix
+            # rows. Shrink k (growing the suffix) until the window fits —
+            # each shrink can only grow the bucket, so this terminates.
+            while k >= 1:
+                sb = _bucket(len(prompt) - k, self.prompt_buckets)
+                if k + sb <= self._cache_rows:
+                    break
+                k = self._cache_rows - sb
+            if k >= 1 and (best is None or k > best[1]):
+                best = (pre, k)
+        return best
 
     @property
     def pending(self) -> int:
@@ -601,17 +680,105 @@ class ContinuousBatcher:
         self._prefill_inserts[k] = fn
         return fn
 
+    def _get_prefix_insert(self, sb: int):
+        """Jitted prefix-hit admission: set the stored B=1 prefix cache's
+        length to the usable row count, run ONE B=1 extend over the
+        suffix window (suffix-length FLOPs — the whole point), splice the
+        result into the shared cache at the slot index, and sample the
+        first token from the last valid suffix position. The stored
+        prefix cache is NOT donated — it must survive for future hits
+        (extend's append lands in a copy)."""
+        hit = self._prefix_inserts.get(sb)
+        if hit is not None:
+            return hit
+        config, sampling = self.config, self.sampling
+        spec = self._spec is not None
+
+        def prefix_insert(params, cache, pre, base, toks, slen, idx, feed,
+                          key, hist=None, hist_len=None, prow=None,
+                          plen=None):
+            pre = dict(pre, length=base)  # (1,) usable rows
+            pre2, logits = gpt2.extend(params, pre, toks, slen, config)
+            out = {}
+            for name, leaf in cache.items():
+                axis = 0 if name == "length" else 1
+                rows = pre2[name].astype(leaf.dtype)
+                out[name] = jax.lax.dynamic_update_slice_in_dim(
+                    leaf, rows, idx, axis=axis)
+            key, sub = jax.random.split(key)
+            last = jnp.take_along_axis(
+                logits, (slen - 1)[:, None, None], axis=1)[:, 0]  # (1, V)
+            first = sample(last, sub, sampling.temperature,
+                           sampling.top_k, sampling.top_p,
+                           use_kernel=not config.spmd,
+                           mesh=config.mesh if config.spmd else None)
+            feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx,
+                                                       axis=0)
+            if not spec:
+                return out, feed, key
+            hrow = jax.lax.dynamic_update_slice(
+                prow, first[None], (jnp.zeros((), jnp.int32), plen[0]))
+            hist = jax.lax.dynamic_update_slice(
+                hist, hrow, (idx, jnp.zeros((), jnp.int32)))
+            hist_len = jax.lax.dynamic_update_slice(
+                hist_len, plen + 1, (idx,))
+            return out, feed, key, hist, hist_len
+
+        fn = jax.jit(
+            prefix_insert, donate_argnums=(1, 7) + ((9,) if spec else ()),
+            out_shardings=(self._cache_fmt, None, None)
+            + (self._hist_fmt if spec else ()),
+        )
+        self._prefix_inserts[sb] = fn
+        return fn
+
+    def _admit_prefix(self, i: int, req: Request, pre, usable: int) -> None:
+        t0 = time.perf_counter()
+        suffix = req.prompt_ids[usable:]
+        sb = _bucket(len(suffix), self.prompt_buckets)
+        toks = np.zeros((1, sb), np.int32)
+        toks[0, :len(suffix)] = suffix
+        args = [
+            self.params, self.cache, pre,
+            jnp.asarray([usable], jnp.int32), jnp.asarray(toks),
+            jnp.asarray([len(suffix)], jnp.int32),
+            jnp.asarray(i, jnp.int32), self._tokens, self._key,
+        ]
+        if self._spec is not None:
+            prow = np.zeros((1, self._hist_cap), np.int32)
+            prow[0, :len(req.prompt_ids)] = req.prompt_ids
+            args += [self._hist, self._hist_len, jnp.asarray(prow),
+                     jnp.asarray([len(req.prompt_ids)], jnp.int32)]
+            (self.cache, self._tokens, self._key,
+             self._hist, self._hist_len) = self._get_prefix_insert(sb)(*args)
+        else:
+            self.cache, self._tokens, self._key = (
+                self._get_prefix_insert(sb)(*args))
+        req.slot = i
+        req.fresh = self._spec is not None
+        self.slots[i] = req
+        self.metrics.prefills += 1
+        self.metrics.prefix_hits += 1
+        self.metrics.prefill_tokens_saved += usable
+        self.metrics.prefill_s += time.perf_counter() - t0
+
     def _admit(self) -> None:
         free = [i for i in range(self.batch_size) if self.slots[i] is None]
         if not free or not self.queue:
             return
         # Pair queued requests with free slots, grouped by prompt bucket so
-        # each group shares one static prefill shape.
+        # each group shares one static prefill shape. Prefix-cache hits
+        # peel off to their own per-slot suffix-extend admission.
         by_bucket: Dict[int, List[tuple]] = {}
         for i in free:
             if not self.queue:
                 break
             req = self.queue.popleft()
+            if self._prefixes:
+                hit = self._match_prefix(req.prompt_ids)
+                if hit is not None:
+                    self._admit_prefix(i, req, hit[0], hit[1])
+                    continue
             bucket = _bucket(len(req.prompt_ids), self.prompt_buckets)
             by_bucket.setdefault(bucket, []).append((i, req))
 
