@@ -482,7 +482,7 @@ class ContinuousBatcher:
         ``usable`` is capped at len(prompt)-1 so at least one suffix token
         remains to produce sampling logits."""
         best = None
-        for ptoks, pre in self._prefixes:
+        for pidx, (ptoks, _pre) in enumerate(self._prefixes):
             cap = min(len(ptoks), len(prompt) - 1)
             k = 0
             while k < cap and prompt[k] == ptoks[k]:
@@ -498,7 +498,7 @@ class ContinuousBatcher:
                     break
                 k = self._cache_rows - sb
             if k >= 1 and (best is None or k > best[1]):
-                best = (pre, k)
+                best = (pidx, k)
         return best
 
     @property
@@ -680,48 +680,60 @@ class ContinuousBatcher:
         self._prefill_inserts[k] = fn
         return fn
 
-    def _get_prefix_insert(self, sb: int):
-        """Jitted prefix-hit admission: set the stored B=1 prefix cache's
-        length to the usable row count, run ONE B=1 extend over the
-        suffix window (suffix-length FLOPs — the whole point), splice the
-        result into the shared cache at the slot index, and sample the
-        first token from the last valid suffix position. The stored
+    def _get_prefix_insert(self, k: int, sb: int):
+        """Jitted k-slot prefix-hit admission, ONE dispatch: broadcast the
+        stored B=1 prefix cache to k lanes (per-lane usable row counts —
+        partial overlaps share a group), run ONE (k, sb) extend over the
+        suffix windows (suffix-length FLOPs — the whole point), splice
+        each lane into the shared cache at its slot index, and sample each
+        first token from its last valid suffix position. The stored
         prefix cache is NOT donated — it must survive for future hits
-        (extend's append lands in a copy)."""
-        hit = self._prefix_inserts.get(sb)
+        (the broadcast lands in fresh buffers)."""
+        hit = self._prefix_inserts.get((k, sb))
         if hit is not None:
             return hit
         config, sampling = self.config, self.sampling
         spec = self._spec is not None
 
-        def prefix_insert(params, cache, pre, base, toks, slen, idx, feed,
-                          key, hist=None, hist_len=None, prow=None,
-                          plen=None):
-            pre = dict(pre, length=base)  # (1,) usable rows
-            pre2, logits = gpt2.extend(params, pre, toks, slen, config)
+        def prefix_insert(params, cache, pre, bases, toks, slens, idxs,
+                          feed, key, hist=None, hist_len=None, prows=None,
+                          plens=None):
+            prek = {}
+            for name, leaf in pre.items():
+                axis = 0 if name == "length" else 1
+                prek[name] = jnp.repeat(leaf, k, axis=axis)
+            prek["length"] = bases  # (k,) per-lane usable rows
+            prek2, logits = gpt2.extend(params, prek, toks, slens, config)
             out = {}
             for name, leaf in cache.items():
                 axis = 0 if name == "length" else 1
-                rows = pre2[name].astype(leaf.dtype)
-                out[name] = jax.lax.dynamic_update_slice_in_dim(
-                    leaf, rows, idx, axis=axis)
+                rows = prek2[name].astype(leaf.dtype)
+                for j in range(k):  # unrolled: k static, idxs[j] dynamic
+                    out_leaf = jax.lax.dynamic_update_slice_in_dim(
+                        leaf,
+                        jax.lax.slice_in_dim(rows, j, j + 1, axis=axis),
+                        idxs[j], axis=axis)
+                    leaf = out_leaf
+                out[name] = leaf
             key, sub = jax.random.split(key)
             last = jnp.take_along_axis(
-                logits, (slen - 1)[:, None, None], axis=1)[:, 0]  # (1, V)
+                logits, (slens - 1)[:, None, None], axis=1)[:, 0]  # (k, V)
             first = sample(last, sub, sampling.temperature,
                            sampling.top_k, sampling.top_p,
                            use_kernel=not config.spmd,
                            mesh=config.mesh if config.spmd else None)
-            feed = jax.lax.dynamic_update_slice_in_dim(feed, first, idx,
-                                                       axis=0)
+            for j in range(k):
+                feed = jax.lax.dynamic_update_slice_in_dim(
+                    feed, first[j:j + 1], idxs[j], axis=0)
             if not spec:
                 return out, feed, key
-            hrow = jax.lax.dynamic_update_slice(
-                prow, first[None], (jnp.zeros((), jnp.int32), plen[0]))
-            hist = jax.lax.dynamic_update_slice(
-                hist, hrow, (idx, jnp.zeros((), jnp.int32)))
-            hist_len = jax.lax.dynamic_update_slice(
-                hist_len, plen + 1, (idx,))
+            for j in range(k):
+                hrow = jax.lax.dynamic_update_slice(
+                    prows, first[j][None, None], (j, plens[j]))[j]
+                hist = jax.lax.dynamic_update_slice(
+                    hist, hrow[None], (idxs[j], jnp.zeros((), jnp.int32)))
+                hist_len = jax.lax.dynamic_update_slice(
+                    hist_len, plens[j:j + 1] + 1, (idxs[j],))
             return out, feed, key, hist, hist_len
 
         fn = jax.jit(
@@ -729,37 +741,51 @@ class ContinuousBatcher:
             out_shardings=(self._cache_fmt, None, None)
             + (self._hist_fmt if spec else ()),
         )
-        self._prefix_inserts[sb] = fn
+        self._prefix_inserts[(k, sb)] = fn
         return fn
 
-    def _admit_prefix(self, i: int, req: Request, pre, usable: int) -> None:
+    def _admit_prefix_group(self, pidx: int, sb: int, chunk) -> None:
+        """Admit a power-of-two group of prefix-cache hits sharing one
+        registered prefix and one suffix bucket in ONE dispatch."""
         t0 = time.perf_counter()
-        suffix = req.prompt_ids[usable:]
-        sb = _bucket(len(suffix), self.prompt_buckets)
-        toks = np.zeros((1, sb), np.int32)
-        toks[0, :len(suffix)] = suffix
+        k = len(chunk)
+        pre = self._prefixes[pidx][1]
+        toks = np.zeros((k, sb), np.int32)
+        bases = np.zeros((k,), np.int32)
+        slens = np.zeros((k,), np.int32)
+        idxs = np.zeros((k,), np.int32)
+        for j, (i, req, usable) in enumerate(chunk):
+            suffix = req.prompt_ids[usable:]
+            toks[j, :len(suffix)] = suffix
+            bases[j] = usable
+            slens[j] = len(suffix)
+            idxs[j] = i
         args = [
-            self.params, self.cache, pre,
-            jnp.asarray([usable], jnp.int32), jnp.asarray(toks),
-            jnp.asarray([len(suffix)], jnp.int32),
-            jnp.asarray(i, jnp.int32), self._tokens, self._key,
+            self.params, self.cache, pre, jnp.asarray(bases),
+            jnp.asarray(toks), jnp.asarray(slens), jnp.asarray(idxs),
+            self._tokens, self._key,
         ]
         if self._spec is not None:
-            prow = np.zeros((1, self._hist_cap), np.int32)
-            prow[0, :len(req.prompt_ids)] = req.prompt_ids
-            args += [self._hist, self._hist_len, jnp.asarray(prow),
-                     jnp.asarray([len(req.prompt_ids)], jnp.int32)]
+            prows = np.zeros((k, self._hist_cap), np.int32)
+            plens = np.zeros((k,), np.int32)
+            for j, (i, req, _u) in enumerate(chunk):
+                prows[j, :len(req.prompt_ids)] = req.prompt_ids
+                plens[j] = len(req.prompt_ids)
+            args += [self._hist, self._hist_len, jnp.asarray(prows),
+                     jnp.asarray(plens)]
             (self.cache, self._tokens, self._key,
-             self._hist, self._hist_len) = self._get_prefix_insert(sb)(*args)
+             self._hist, self._hist_len) = (
+                self._get_prefix_insert(k, sb)(*args))
         else:
             self.cache, self._tokens, self._key = (
-                self._get_prefix_insert(sb)(*args))
-        req.slot = i
-        req.fresh = self._spec is not None
-        self.slots[i] = req
-        self.metrics.prefills += 1
-        self.metrics.prefix_hits += 1
-        self.metrics.prefill_tokens_saved += usable
+                self._get_prefix_insert(k, sb)(*args))
+        for i, req, usable in chunk:
+            req.slot = i
+            req.fresh = self._spec is not None
+            self.slots[i] = req
+            self.metrics.prefix_hits += 1
+            self.metrics.prefill_tokens_saved += usable
+        self.metrics.prefills += k
         self.metrics.prefill_s += time.perf_counter() - t0
 
     def _admit(self) -> None:
@@ -770,6 +796,7 @@ class ContinuousBatcher:
         # each group shares one static prefill shape. Prefix-cache hits
         # peel off to their own per-slot suffix-extend admission.
         by_bucket: Dict[int, List[tuple]] = {}
+        prefix_groups: Dict[tuple, List[tuple]] = {}
         for i in free:
             if not self.queue:
                 break
@@ -777,10 +804,21 @@ class ContinuousBatcher:
             if self._prefixes:
                 hit = self._match_prefix(req.prompt_ids)
                 if hit is not None:
-                    self._admit_prefix(i, req, hit[0], hit[1])
+                    pidx, usable = hit
+                    sb = _bucket(len(req.prompt_ids) - usable,
+                                 self.prompt_buckets)
+                    prefix_groups.setdefault((pidx, sb), []).append(
+                        (i, req, usable))
                     continue
             bucket = _bucket(len(req.prompt_ids), self.prompt_buckets)
             by_bucket.setdefault(bucket, []).append((i, req))
+
+        for (pidx, sb), group in prefix_groups.items():
+            start = 0
+            while start < len(group):  # power-of-two chunks, biggest first
+                k = 1 << ((len(group) - start).bit_length() - 1)
+                self._admit_prefix_group(pidx, sb, group[start:start + k])
+                start += k
 
         for bucket, group in by_bucket.items():
             # Power-of-two chunks: bounded jit variants, biggest first.
