@@ -140,6 +140,47 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
 
 
+def _admit_epilogue(cache, rows_cache, logits_last, idxs, feed, key, *, k,
+                    config, sampling, spec, hist_cap=0, hist=None,
+                    hist_len=None, hist_tokens=None, hist_lens=None):
+    """Shared tail of every k-slot admission jit (grouped prefill AND
+    grouped prefix-hit — one copy so the two paths cannot drift): splice
+    the k computed lanes into the shared cache at their slot indices,
+    sample each lane's first token straight into the device-resident feed
+    vector, and (speculative serve) seed each slot's token history with
+    [prompt..., first] and cursor len+1 (the engine's convention: the
+    unprocessed feed token sits at L-1)."""
+    out = {}
+    for name, leaf in cache.items():
+        axis = 0 if name == "length" else 1
+        rows = rows_cache[name].astype(leaf.dtype)
+        for j in range(k):  # unrolled: k is static, idxs[j] dynamic
+            leaf = jax.lax.dynamic_update_slice_in_dim(
+                leaf,
+                jax.lax.slice_in_dim(rows, j, j + 1, axis=axis),
+                idxs[j], axis=axis,
+            )
+        out[name] = leaf
+    key, sub = jax.random.split(key)
+    first = sample(logits_last, sub, sampling.temperature, sampling.top_k,
+                   sampling.top_p, use_kernel=not config.spmd,
+                   mesh=config.mesh if config.spmd else None)
+    for j in range(k):
+        feed = jax.lax.dynamic_update_slice_in_dim(
+            feed, first[j:j + 1], idxs[j], axis=0)
+    if not spec:
+        return out, feed, key
+    hrow = jnp.zeros((k, hist_cap), jnp.int32)
+    hrow = jax.lax.dynamic_update_slice(hrow, hist_tokens, (0, 0))
+    for j in range(k):
+        hrow = jax.lax.dynamic_update_slice(
+            hrow, first[j][None, None], (j, hist_lens[j]))
+        hist = jax.lax.dynamic_update_slice(hist, hrow[j][None], (idxs[j], 0))
+        hist_len = jax.lax.dynamic_update_slice(
+            hist_len, hist_lens[j:j + 1] + 1, (idxs[j],))
+    return out, feed, key, hist, hist_len
+
+
 class ContinuousBatcher:
     """Streams requests through a fixed batch of KV-cache slots."""
 
@@ -633,41 +674,11 @@ class ContinuousBatcher:
             slot_cache, logits = gpt2.prefill(
                 params, slot_init, tokens, lengths, config
             )
-            out = {}
-            for name, leaf in cache.items():
-                axis = 0 if name == "length" else 1
-                rows = slot_cache[name].astype(leaf.dtype)
-                for j in range(k):  # unrolled: k is static, idxs[j] dynamic
-                    leaf = jax.lax.dynamic_update_slice_in_dim(
-                        leaf,
-                        jax.lax.slice_in_dim(rows, j, j + 1, axis=axis),
-                        idxs[j], axis=axis,
-                    )
-                out[name] = leaf
-            key, sub = jax.random.split(key)
-            first = sample(logits, sub, sampling.temperature,
-                           sampling.top_k, sampling.top_p,
-                           use_kernel=not config.spmd,
-                           mesh=config.mesh if config.spmd else None)
-            for j in range(k):
-                feed = jax.lax.dynamic_update_slice_in_dim(
-                    feed, first[j:j + 1], idxs[j], axis=0
-                )
-            if not spec:
-                return out, feed, key
-            # Speculative serve: seed each admitted slot's token history
-            # with [prompt..., first] and cursor len+1 (the engine's
-            # convention: the unprocessed feed token sits at L-1).
-            hrow = jnp.zeros((k, hist_cap), jnp.int32)
-            hrow = jax.lax.dynamic_update_slice(hrow, tokens, (0, 0))
-            for j in range(k):
-                hrow = jax.lax.dynamic_update_slice(
-                    hrow, first[j][None, None], (j, lengths[j]))
-                hist = jax.lax.dynamic_update_slice(
-                    hist, hrow[j][None], (idxs[j], 0))
-                hist_len = jax.lax.dynamic_update_slice(
-                    hist_len, lengths[j][None] + 1, (idxs[j],))
-            return out, feed, key, hist, hist_len
+            return _admit_epilogue(
+                cache, slot_cache, logits, idxs, feed, key,
+                k=k, config=config, sampling=sampling, spec=spec,
+                hist_cap=hist_cap, hist=hist, hist_len=hist_len,
+                hist_tokens=tokens, hist_lens=lengths)
 
         # slot_init is NOT donated: its buffers can't alias the spliced
         # outputs (XLA warns and ignores the donation); the main cache and
@@ -704,37 +715,14 @@ class ContinuousBatcher:
                 prek[name] = jnp.repeat(leaf, k, axis=axis)
             prek["length"] = bases  # (k,) per-lane usable rows
             prek2, logits = gpt2.extend(params, prek, toks, slens, config)
-            out = {}
-            for name, leaf in cache.items():
-                axis = 0 if name == "length" else 1
-                rows = prek2[name].astype(leaf.dtype)
-                for j in range(k):  # unrolled: k static, idxs[j] dynamic
-                    out_leaf = jax.lax.dynamic_update_slice_in_dim(
-                        leaf,
-                        jax.lax.slice_in_dim(rows, j, j + 1, axis=axis),
-                        idxs[j], axis=axis)
-                    leaf = out_leaf
-                out[name] = leaf
-            key, sub = jax.random.split(key)
             last = jnp.take_along_axis(
                 logits, (slens - 1)[:, None, None], axis=1)[:, 0]  # (k, V)
-            first = sample(last, sub, sampling.temperature,
-                           sampling.top_k, sampling.top_p,
-                           use_kernel=not config.spmd,
-                           mesh=config.mesh if config.spmd else None)
-            for j in range(k):
-                feed = jax.lax.dynamic_update_slice_in_dim(
-                    feed, first[j:j + 1], idxs[j], axis=0)
-            if not spec:
-                return out, feed, key
-            for j in range(k):
-                hrow = jax.lax.dynamic_update_slice(
-                    prows, first[j][None, None], (j, plens[j]))[j]
-                hist = jax.lax.dynamic_update_slice(
-                    hist, hrow[None], (idxs[j], jnp.zeros((), jnp.int32)))
-                hist_len = jax.lax.dynamic_update_slice(
-                    hist_len, plens[j:j + 1] + 1, (idxs[j],))
-            return out, feed, key, hist, hist_len
+            return _admit_epilogue(
+                cache, prek2, last, idxs, feed, key,
+                k=k, config=config, sampling=sampling, spec=spec,
+                hist_cap=self._hist_cap if spec else 0,
+                hist=hist, hist_len=hist_len,
+                hist_tokens=prows, hist_lens=plens)
 
         fn = jax.jit(
             prefix_insert, donate_argnums=(1, 7) + ((9,) if spec else ()),
