@@ -522,25 +522,10 @@ class ContinuousBatcher:
         """Longest usable stored-prefix overlap for ``prompt``, or None.
         ``usable`` is capped at len(prompt)-1 so at least one suffix token
         remains to produce sampling logits."""
-        best = None
-        for pidx, (ptoks, _pre) in enumerate(self._prefixes):
-            cap = min(len(ptoks), len(prompt) - 1)
-            k = 0
-            while k < cap and prompt[k] == ptoks[k]:
-                k += 1
-            # The suffix extend writes a full BUCKET-padded window at row
-            # k; if k + bucket overflows the cache rows, the update-slice
-            # clamp would shift the window backward over valid prefix
-            # rows. Shrink k (growing the suffix) until the window fits —
-            # each shrink can only grow the bucket, so this terminates.
-            while k >= 1:
-                sb = _bucket(len(prompt) - k, self.prompt_buckets)
-                if k + sb <= self._cache_rows:
-                    break
-                k = self._cache_rows - sb
-            if k >= 1 and (best is None or k > best[1]):
-                best = (pidx, k)
-        return best
+        from zig_gpt2_tpu.runtime.engine import match_prefix
+
+        return match_prefix(self._prefixes, prompt, self.prompt_buckets,
+                            self._cache_rows)
 
     @property
     def pending(self) -> int:

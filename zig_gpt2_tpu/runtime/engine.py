@@ -98,6 +98,7 @@ class GenerationMetrics:
     prefill_ms: float = 0.0
     decode_ms: float = 0.0
     per_token_ms: List[float] = field(default_factory=list)
+    prefix_tokens_reused: int = 0  # prompt rows served from the prefix cache
 
     @property
     def ms_per_token(self) -> float:
@@ -146,6 +147,32 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+def match_prefix(prefixes, prompt, buckets, cache_rows):
+    """Longest usable stored-prefix overlap for ``prompt``: returns
+    (prefix index, usable row count) or None. Shared by InferenceEngine
+    and ContinuousBatcher (one matching policy). ``usable`` is capped at
+    len(prompt)-1 (at least one suffix token must remain to produce
+    sampling logits) and shrunk until the BUCKET-padded suffix window
+    fits ``cache_rows`` — the suffix extend writes a full bucket at row
+    ``usable``, and the update-slice clamp would otherwise shift it
+    backward over valid prefix rows. Each shrink can only grow the
+    bucket, so the loop terminates."""
+    best = None
+    for pidx, (ptoks, _pre) in enumerate(prefixes):
+        cap = min(len(ptoks), len(prompt) - 1)
+        k = 0
+        while k < cap and prompt[k] == ptoks[k]:
+            k += 1
+        while k >= 1:
+            sb = _bucket(len(prompt) - k, buckets)
+            if k + sb <= cache_rows:
+                break
+            k = cache_rows - sb
+        if k >= 1 and (best is None or k > best[1]):
+            best = (pidx, k)
+    return best
 
 
 class InferenceEngine:
@@ -202,6 +229,10 @@ class InferenceEngine:
         # wte is always a float leaf even when the linears are quantized.
         self.cache_dtype = cache_dtype or params["wte"].dtype
         self._step_cache: dict = {}  # jitted step fns, keyed by sampling cfg
+        # Prefix cache (register_prefix): [(token tuple, stored cache)],
+        # longest first, + the jitted suffix-extend fns keyed by bucket.
+        self._prefixes: list = []
+        self._prefix_fns: dict = {}
         # _cache_fmt doubles as the jit out_shardings for the cache: explicit
         # default layouts single-device (see cache_formats) and NamedShardings
         # under a mesh (pinning the sharded layout stable across steps).
@@ -333,6 +364,59 @@ class InferenceEngine:
 
     # -- streaming generation -------------------------------------------------
 
+    def register_prefix(self, prefix_ids: Sequence[int]) -> None:
+        """Precompute and keep the KV rows of a shared prompt prefix (a
+        system prompt): later ``generate``/``generate_iter`` calls whose
+        prompt shares a leading token run start from the stored rows and
+        prefill only their suffix (one extend — suffix-length FLOPs).
+        Pays off on REPEATED calls on one engine; output is unchanged
+        (tests/test_engine_prefix.py pins parity). Single-sequence
+        (batch_size == 1; the batcher has the multi-slot variant)."""
+        if self.batch_size != 1:
+            raise ValueError("register_prefix is single-sequence "
+                             "(batch_size == 1); use ContinuousBatcher")
+        prefix_ids = list(prefix_ids)
+        if not prefix_ids:
+            raise ValueError("prefix must contain at least one token")
+        n = len(prefix_ids)
+        bucket = _bucket(n, self.prompt_buckets)  # raises if too long
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = prefix_ids
+        pre, _ = self._prefill(
+            self.params, self.new_cache(),
+            self._put_data(jnp.asarray(toks)),
+            self._put_data(jnp.asarray([n], jnp.int32)))
+        self._prefixes.append((tuple(prefix_ids), pre))
+        self._prefixes.sort(key=lambda t: -len(t[0]))
+
+    def _prefix_prefill(self, prompt_ids, pidx: int, usable: int):
+        """Prefix-hit prefill: suffix-only extend from the stored rows.
+        The stored cache is NOT donated (it must survive for future
+        hits); extend's result lands in fresh buffers that become this
+        call's working cache. Returns (cache, last-position logits)."""
+        suffix = prompt_ids[usable:]
+        sb = _bucket(len(suffix), self.prompt_buckets)
+        fn = self._prefix_fns.get(sb)
+        if fn is None:
+            config = self.config
+
+            def prefix_prefill(params, pre, base, toks, slen):
+                pre = dict(pre, length=base)
+                cache, logits = gpt2.extend(params, pre, toks, slen, config)
+                last = jnp.take_along_axis(
+                    logits, (slen - 1)[:, None, None], axis=1)[:, 0]
+                return cache, last
+
+            fn = jax.jit(prefix_prefill,
+                         out_shardings=(self._cache_fmt, None))
+            self._prefix_fns[sb] = fn
+        toks = np.zeros((1, sb), np.int32)
+        toks[0, :len(suffix)] = suffix
+        return fn(self.params, self._prefixes[pidx][1],
+                  jnp.asarray([usable], jnp.int32),
+                  self._put_data(jnp.asarray(toks)),
+                  self._put_data(jnp.asarray([len(suffix)], jnp.int32)))
+
     def generate(
         self,
         prompt_ids: Sequence[int],
@@ -375,17 +459,23 @@ class InferenceEngine:
         metrics = metrics if metrics is not None else GenerationMetrics()
         metrics.prompt_tokens = n
 
-        # Padded, bucketed prefill.
-        bucket = _bucket(n, self.prompt_buckets)
-        tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, :n] = prompt_ids
+        # Padded, bucketed prefill — or a prefix-cache hit's suffix extend.
         t0 = time.perf_counter()
-        cache, logits = self._prefill(
-            self.params,
-            self.new_cache(),
-            self._put_data(jnp.asarray(tokens)),
-            self._put_data(jnp.asarray([n], jnp.int32)),
-        )
+        hit = (match_prefix(self._prefixes, prompt_ids, self.prompt_buckets,
+                            self._cache_rows) if self._prefixes else None)
+        if hit is not None:
+            cache, logits = self._prefix_prefill(prompt_ids, *hit)
+            metrics.prefix_tokens_reused = hit[1]
+        else:
+            bucket = _bucket(n, self.prompt_buckets)
+            tokens = np.zeros((1, bucket), np.int32)
+            tokens[0, :n] = prompt_ids
+            cache, logits = self._prefill(
+                self.params,
+                self.new_cache(),
+                self._put_data(jnp.asarray(tokens)),
+                self._put_data(jnp.asarray([n], jnp.int32)),
+            )
         key = jax.random.PRNGKey(sampling.seed)
         key, sub = jax.random.split(key)
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
