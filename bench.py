@@ -62,6 +62,30 @@ def _backend_initialized() -> bool:
         return False
 
 
+def _make_prompts(args, vocab_size, rng):
+    """(B, prompt_len) int32 prompts for --workload random|repeat."""
+    import numpy as np
+
+    if args.workload == "repeat":
+        phrase = rng.integers(0, vocab_size, 16)
+        reps = -(-args.prompt_len // 16)
+        row = np.tile(phrase, reps)[: args.prompt_len]
+        return np.tile(row, (args.batch, 1)).astype(np.int32)
+    return rng.integers(0, vocab_size,
+                        (args.batch, args.prompt_len)).astype(np.int32)
+
+
+def _tag(args) -> str:
+    """Metric-name suffix for non-default workload/temperature so labeled
+    runs can't be mistaken for the standard benchmark."""
+    t = ""
+    if args.workload != "random":
+        t += f"_{args.workload}"
+    if args.temperature != 0.8:
+        t += f"_t{args.temperature:g}"
+    return t
+
+
 def _emit_failure(reason: str) -> None:
     """One parseable JSON line instead of a traceback (VERDICT r03 item 5)."""
     print(json.dumps({
@@ -113,6 +137,16 @@ def main() -> None:
     p.add_argument("--no-prefix-cache", action="store_true",
                    help="with --prefix-len: same shared-prefix workload "
                         "WITHOUT registering it (the A/B baseline)")
+    p.add_argument("--workload", default="random",
+                   choices=["random", "repeat"],
+                   help="prompt construction: random ids (default) or a "
+                        "16-token phrase tiled to --prompt-len — the "
+                        "repetitive/quoting traffic where prompt-lookup "
+                        "speculation actually accepts (label the run!)")
+    p.add_argument("--temperature", type=float, default=0.8,
+                   help="sampling temperature (0 = greedy; the honest "
+                        "speculative-acceptance measurement pairs "
+                        "--workload repeat with low temperature)")
     p.add_argument("--spec-quant", default=None,
                    choices=["int8", "int4"],
                    help="weight quantization for the DRAFT model")
@@ -221,10 +255,9 @@ def main() -> None:
             prompt_buckets=(args.prompt_len,), kv_quant=args.kv_quant,
             draft_kv_quant=args.spec_kv_quant,
         )
-        sampling = SamplingConfig(temperature=0.8, seed=0)
+        sampling = SamplingConfig(temperature=args.temperature, seed=0)
         rng = np.random.default_rng(0)
-        prompts = rng.integers(0, config.vocab_size,
-                               (args.batch, args.prompt_len)).astype(np.int32)
+        prompts = _make_prompts(args, config.vocab_size, rng)
         lengths = [args.prompt_len] * args.batch
 
         if args.mode == "stream":
@@ -255,6 +288,7 @@ def main() -> None:
                 + (f"_{args.quant}" if args.quant else "")
                 + (f"_kv{args.kv_quant}" if args.kv_quant else "")
                 + f"_spec{args.speculative}_k{args.spec_k}"
+                + _tag(args)
                 + "_stream_tokens_per_sec",
                 "value": round(best, 2),
                 "unit": "tokens/sec",
@@ -278,6 +312,7 @@ def main() -> None:
             + (f"_{args.quant}" if args.quant else "")
             + (f"_kv{args.kv_quant}" if args.kv_quant else "")
             + f"_spec{args.speculative}_k{args.spec_k}"
+            + _tag(args)
             + f"_decode_b{args.batch}_tokens_per_sec",
             "value": round(tps, 2),
             "unit": "tokens/sec",
@@ -294,9 +329,9 @@ def main() -> None:
         mesh=mesh,
         decode_chunk=args.stream_chunk,
     )
-    sampling = SamplingConfig(temperature=0.8, seed=0)
+    sampling = SamplingConfig(temperature=args.temperature, seed=0)
     rng = np.random.default_rng(0)
-    prompts = rng.integers(0, config.vocab_size, (args.batch, args.prompt_len)).astype(np.int32)
+    prompts = _make_prompts(args, config.vocab_size, rng)
     lengths = [args.prompt_len] * args.batch
 
     if args.mode == "serve":
@@ -322,7 +357,7 @@ def main() -> None:
             config, params, batch_size=args.batch,
             max_seq=args.prompt_len + args.steps,
             prompt_buckets=(args.prompt_len,),
-            sampling=SamplingConfig(temperature=0.8, seed=0),
+            sampling=SamplingConfig(temperature=args.temperature, seed=0),
             kv_quant=args.kv_quant,
             decode_chunk=args.decode_chunk,
             mesh=mesh,
@@ -345,8 +380,14 @@ def main() -> None:
             for _ in range(args.requests):
                 lo = max(args.prefix_len + 1, args.prompt_len // 2)
                 n = int(r.integers(lo, args.prompt_len))
-                prompt = shared_prefix + list(
-                    r.integers(0, config.vocab_size, n - args.prefix_len))
+                if args.workload == "repeat":
+                    phrase = r.integers(0, config.vocab_size, 16)
+                    reps = -(-(n - args.prefix_len) // 16)
+                    suffix = list(np.tile(phrase, reps)[: n - args.prefix_len])
+                else:
+                    suffix = list(
+                        r.integers(0, config.vocab_size, n - args.prefix_len))
+                prompt = shared_prefix + suffix
                 batcher.submit(
                     prompt,
                     max_new_tokens=int(r.integers(args.steps // 2, args.steps)),
@@ -373,6 +414,7 @@ def main() -> None:
                if args.speculative and args.spec_chunk > 1 else "")
             + (f"_prefix{args.prefix_len}" if args.prefix_len else "")
             + ("_nocache" if args.prefix_len and args.no_prefix_cache else "")
+            + _tag(args)
             + f"_serve_slots{args.batch}_tokens_per_sec",
             "value": round(best, 2),
             "unit": "tokens/sec",
@@ -417,6 +459,7 @@ def main() -> None:
             "metric": f"gpt2_{args.model}_{args.dtype}"
             + (f"_{args.quant}" if args.quant else "")
             + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+            + _tag(args)
             + f"_stream_chunk{engine.decode_chunk}_tokens_per_sec",
             "value": round(best, 2),
             "unit": "tokens/sec",
@@ -471,6 +514,7 @@ def main() -> None:
                 + (f"_{args.quant}" if args.quant else "")
                 + (f"_kv{args.kv_quant}" if args.kv_quant else "")
                 + (f"_mesh{args.mesh}" if args.mesh else "")
+                + _tag(args)
                 + f"_decode_b{args.batch}_tokens_per_sec",
                 "value": round(tokens_per_sec, 2),
                 "unit": "tokens/sec",
