@@ -238,6 +238,29 @@ class TestPickBlockLaneLegality:
             assert sc % 8 == 0
             assert n_chunks * sc >= s
 
+    def test_mc_fold_packed_default(self, monkeypatch):
+        """Multi-chunk bc>1 defaults ON for the PACKED layout only (its
+        halved temporaries measured clean at +16.5% on v5e, 1.5B B=16
+        ctx 1152 — BENCHMARKS.md round 4); unpacked keeps the proven-OOM
+        default off. ZG2_ATTN_MC_FOLD forces either way."""
+        from zig_gpt2_tpu.ops.attention import _pick_block
+
+        monkeypatch.delenv("ZG2_ATTN_MC_FOLD", raising=False)
+        # 1.5B-ish INT8 cache at ctx 1152: multi-chunk territory.
+        s, b = 1152, 16
+        bc_u, _, nc_u = _pick_block(b, 25, s, 1, quant=True, foldable=True)
+        bc_p, _, nc_p = _pick_block(b, 13, s, 1, quant=True, foldable=True,
+                                    packed=True)
+        if nc_u > 1:
+            assert bc_u == 1, (bc_u, nc_u)
+        if nc_p > 1:
+            assert bc_p > 1, (bc_p, nc_p)
+        monkeypatch.setenv("ZG2_ATTN_MC_FOLD", "0")
+        bc_off, _, nc_off = _pick_block(b, 13, s, 1, quant=True,
+                                        foldable=True, packed=True)
+        if nc_off > 1:
+            assert bc_off == 1, (bc_off, nc_off)
+
     def test_batcher_headroom_shape_interpret(self, rng):
         """S=207 (the crashing hardware shape) through the full quant
         deferred kernel in interpret mode."""

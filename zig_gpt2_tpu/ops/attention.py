@@ -99,7 +99,7 @@ def _inner_rows(bc, h) -> int:
     return max(8, min(_INNER, cap // 8 * 8))
 
 
-def _pick_block(b, h, s, itemsize, quant, foldable=False):
+def _pick_block(b, h, s, itemsize, quant, foldable=False, packed=False):
     """(batch-fold bc, S-chunk sc, n_chunks) minimizing the grid size. Grid cells
     carry a large fixed cost (DMA issue for up to 9 operands + prologue;
     measured ~8 us/cell vs <1 us of VPU compute at 1.5B, and 3 S-chunks vs
@@ -136,11 +136,15 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False):
             # chunk's bigger per-cell blocks leave no headroom (measured
             # 17.2M > 16M at 1.5B ctx 1152, bc=4·sc=128 AND bc=2·sc=256);
             # single-chunk bc=2 at sc<=320 is proven on hardware.
-            # ZG2_ATTN_MC_FOLD=1 re-opens the config for A/B: those OOM
-            # measurements predate the head-pair-packed layout, which
-            # halves the live temporaries (h -> h/2 at 128 lanes) and may
-            # now leave headroom — unmeasured, so default off.
-            if bc > 1 and os.environ.get("ZG2_ATTN_MC_FOLD", "0") != "1":
+            # Those OOM measurements predate the head-pair-packed layout,
+            # which halves the live temporaries (h -> h/2 at 128 lanes):
+            # measured 2026-08-18 on v5e, packed 1.5B B=16 ctx 1152
+            # INT4+INT8KV runs multi-chunk bc>1 clean at +16.5% (283.8 vs
+            # 243.5 tok/s) — so packed defaults ON here. Unpacked keeps
+            # the proven-OOM default OFF. ZG2_ATTN_MC_FOLD=1/0 forces.
+            mc_fold = os.environ.get("ZG2_ATTN_MC_FOLD",
+                                     "1" if packed else "0")
+            if bc > 1 and mc_fold != "1":
                 continue
             # Half budget for multi-chunk blocks: the scratch-carry path
             # keeps ~10.7 MB of inner-loop state live (measured: 17.2 MB
@@ -787,7 +791,8 @@ def _attention_call(
         b, h, d = q.shape
     s = k_cache.shape[-2]
     bc, sc, n_chunks = _pick_block(
-        b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant, foldable=True)
+        b, h, s, jnp.dtype(k_cache.dtype).itemsize, quant, foldable=True,
+        packed=packed)
     scale = 1.0 / math.sqrt(d)
     # Fold: split the batch (B,) -> (B/bc, bc) on every operand — a free
     # leading-dim reshape; the kernel loops the bc sub-batches per cell.
