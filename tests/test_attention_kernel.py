@@ -261,6 +261,24 @@ class TestPickBlockLaneLegality:
         if nc_off > 1:
             assert bc_off == 1, (bc_off, nc_off)
 
+    def test_packed_quant_single_chunk_cap(self, monkeypatch):
+        """Packed quant single-chunk is capped at hp*sc <= 13*768: the v5e
+        scoped-VMEM sweep (tools/ab/vmem_sweep.py) compiled sc=768 and
+        OOMed sc>=896 at hp=13 — S=1031 (the engine's context-size default
+        shape, the ab_packed crash) must go multi-chunk."""
+        from zig_gpt2_tpu.ops.attention import _pick_block
+
+        monkeypatch.delenv("ZG2_ATTN_MC_FOLD", raising=False)
+        for s in (1031, 896, 1152):
+            bc, sc, nc = _pick_block(16, 13, s, 1, quant=True, foldable=True,
+                                     packed=True)
+            assert nc > 1, (s, bc, sc, nc)
+            assert bc * 13 * sc <= 13 * 768 or bc == 1, (s, bc, sc)
+        # ...and small shapes keep the proven single-chunk fast path.
+        bc, sc, nc = _pick_block(16, 13, 199, 1, quant=True, foldable=True,
+                                 packed=True)
+        assert nc == 1 and sc <= 768
+
     def test_batcher_headroom_shape_interpret(self, rng):
         """S=207 (the crashing hardware shape) through the full quant
         deferred kernel in interpret mode."""

@@ -78,3 +78,17 @@ def test_packed_cache_shapes():
     cache = gpt2.init_kv_cache(cfg, batch_size=2, max_seq=16, quant="int8")
     assert cache["k"].shape == (2, 2, 2, 16, 128)  # (L, B, Hp=2, S, 2D)
     assert cache["k_scale"].shape == (2, 2, 2, 2, 16)  # (L, B, 2, Hp, S)
+
+
+def test_default_layout_policy(monkeypatch):
+    """Round-4 measured layout policy (default_kv_packed): packed for the
+    FLOAT cache (+12% on v5e, ab_wmm grid), UNPACKED for a quantized one
+    (0.945x, ab_packed) — env forces win either way."""
+    monkeypatch.delenv("ZG2_KV_PACKED", raising=False)
+    monkeypatch.setenv("ZG2_FUSED_ATTN", "interpret")  # fused "active" on CPU
+    assert gpt2.default_kv_packed(CFG_EVEN)
+    assert not gpt2.default_kv_packed(CFG_EVEN, "int8")
+    monkeypatch.setenv("ZG2_KV_PACKED", "1")
+    assert gpt2.default_kv_packed(CFG_EVEN, "int8")
+    monkeypatch.setenv("ZG2_KV_PACKED", "0")
+    assert not gpt2.default_kv_packed(CFG_EVEN)

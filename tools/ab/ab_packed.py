@@ -43,7 +43,11 @@ samp = SamplingConfig(temperature=0.8)
 results = {}
 for name, flag in (("unpacked", "0"), ("packed", "1")):
     os.environ["ZG2_KV_PACKED"] = flag
-    eng = InferenceEngine(config, params, batch_size=B, kv_quant=kvq)
+    # Explicit max_seq: the engine's context_size default gives S=1031,
+    # where the packed single-chunk kernel scoped-VMEM OOMs (see
+    # tools/ab/vmem_sweep.py) — match bench.py's shape instead.
+    eng = InferenceEngine(config, params, batch_size=B, kv_quant=kvq,
+                          max_seq=prompt + steps, prompt_buckets=(prompt,))
     assert eng.config.kv_packed == (flag == "1"), eng.config.kv_packed
     out = eng.generate_scan(toks, lengths, steps, samp)  # warm + compile
     best = None

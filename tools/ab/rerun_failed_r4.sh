@@ -17,6 +17,7 @@ run() {
 export ZG2_BENCH_NO_PROBE=1
 
 run 2400 flagship_retry python bench.py --model 1558M --quant int4 --kv-quant int8
+run 900 headline_unroll12_off env ZG2_WMM=0 ZG2_KV_PACKED=0 ZG2_DECODE_UNROLL=12 python bench.py
 run 1200 ab_wmm python tools/ab/ab_wmm.py 124M 1
 run 2400 ab_packed python tools/ab/ab_packed.py 1558M 16 int4 int8
 run 1800 ab_step python tools/ab/ab_step.py 124M 1 int4 int8

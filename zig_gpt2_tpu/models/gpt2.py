@@ -54,19 +54,27 @@ def _fused_interpret() -> bool:
     return os.environ.get("ZG2_FUSED_ATTN") == "interpret"
 
 
-def default_kv_packed(config: GPTConfig) -> bool:
+def default_kv_packed(config: GPTConfig, kv_quant=None) -> bool:
     """Whether the runtime should serve with the head-pair-packed KV cache
-    (config.kv_packed): exactly when the fused kernels are active and
-    head_dim is the GPT-2 64 (two heads fill one 128-lane register row).
-    The layout halves the decode-attention kernel's VPU work; see
-    ops/attention._build_kernel_packed. ZG2_KV_PACKED=0 disables (A/B).
+    (config.kv_packed): when the fused kernels are active, head_dim is the
+    GPT-2 64 (two heads fill one 128-lane register row) and the cache is
+    FLOAT. The layout halves the decode-attention kernel's VPU work
+    (ops/attention._build_kernel_packed) and the round-4 hardware A/Bs
+    split by cache dtype: bf16 cache +12% (124M B=1, 1035.7 -> 1162.7
+    tok/s, ab_wmm grid) but INT8 cache 0.945x (1.5B B=16 INT4+INT8KV,
+    1031.6 -> 974.6, ab_packed) — the packed quant kernel also scoped-VMEM
+    OOMs at single-chunk sc >= ~1152 (vmem_sweep). ZG2_KV_PACKED=0 forces
+    off, =1 forces on wherever legal (A/B).
 
     Under a mesh the layout works iff decode runs the step-level manual
     path (parallel/step_spmd — the per-shard body then dispatches the
     same packed kernels) AND the per-shard head count is even: pairs are
     formed inside a shard, never across the model-axis boundary. (The
     op-level shard_kernels specs are unpacked-only.)"""
-    if os.environ.get("ZG2_KV_PACKED", "1") == "0":
+    opt = os.environ.get("ZG2_KV_PACKED", "auto")
+    if opt == "0":
+        return False
+    if opt != "1" and kv_quant is not None:
         return False
     if config.head_dim != 64:
         return False
@@ -114,11 +122,15 @@ def _spmd_interpret() -> bool:
 
 def _use_wmm(config: GPTConfig) -> bool:
     """Float-weight decode GEMVs through the stacked Pallas kernel
-    (quant/kernels.wmm) — on TPU single-device and inside the step-level
-    manual body. ZG2_WMM=0 disables (A/B), =interpret forces on CPU."""
+    (quant/kernels.wmm). Default OFF since the round-4 hardware A/B
+    (ab_wmm grid, 124M bf16 B=1 back-to-back): with the packed KV cache
+    on, wmm measured 1124.5 vs 1162.7 tok/s without it — XLA's own bf16
+    GEMV fusions win once attention stops dominating the step. ZG2_WMM=1
+    re-enables (it still wins when packed is ALSO off: 1089.5 vs 1035.7),
+    =interpret forces on CPU."""
     if config.spmd:
         return False
-    opt = os.environ.get("ZG2_WMM", "1")
+    opt = os.environ.get("ZG2_WMM", "0")
     if opt == "0":
         return False
     if opt == "interpret":
@@ -871,8 +883,10 @@ def decode_step(
     # Unrolling trades compile time for the TPU while-loop's per-iteration
     # sequencer overhead — measured ~15 us/iteration EVEN FOR A SCALAR ADD
     # on this chip, i.e. ~0.7 ms/step hidden in a 48-layer scan.
-    # ZG2_DECODE_UNROLL tunes it (read at trace time).
-    unroll = max(1, int(os.environ.get("ZG2_DECODE_UNROLL", "4")))
+    # ZG2_DECODE_UNROLL tunes it (read at trace time). Default 12 from the
+    # round-4 sweep: 124M B=1 u4 1162.7 / u12 1363.8 (+17%, full unroll of
+    # its 12 layers) / u16 1263.5 / u32 1178.8; 1.5B B=16 flat (±0.5%).
+    unroll = max(1, int(os.environ.get("ZG2_DECODE_UNROLL", "12")))
     (x, new_layer_caches), _ = jax.lax.scan(
         step, (x, layer_caches), jnp.arange(config.n_layers),
         unroll=min(unroll, config.n_layers),
@@ -1044,7 +1058,7 @@ def extend(
         x, caches = _block_extend(x, blocks, idx, caches, base, valid, config)
         return (x, caches), None
 
-    unroll = max(1, int(os.environ.get("ZG2_DECODE_UNROLL", "4")))
+    unroll = max(1, int(os.environ.get("ZG2_DECODE_UNROLL", "12")))
     (x, new_layer_caches), _ = jax.lax.scan(
         step, (x, layer_caches), jnp.arange(config.n_layers),
         unroll=min(unroll, config.n_layers),

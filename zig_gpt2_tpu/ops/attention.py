@@ -127,7 +127,16 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False, packed=False):
             continue
         per_row = bc * h * 128 * itemsize * 2 * 2  # K+V, double-buffered
         budget_rows = _BLOCK_BUDGET // per_row
-        if budget_rows >= s_pad:
+        single_ok = budget_rows >= s_pad
+        if packed and quant and bc * h * s_pad > 13 * 768:
+            # The packed quant kernel's statically-unrolled inner loop
+            # scoped-VMEM OOMs before the block budget does: measured on
+            # v5e (tools/ab/vmem_sweep.py, hp=13) single-chunk compiles
+            # through sc=768 (13.9M) and dies at sc=896 (18.42M > 16M), so
+            # single-chunk requires hp*sc <= 13*768 (linear-in-hp); the
+            # multi-chunk fallback keeps its own (sweep-verified) budget.
+            single_ok = False
+        if single_ok:
             sc, n_chunks = s_pad, 1
         else:
             # Multi-chunk: keep _INNER-granular chunks (equal blocks).

@@ -168,7 +168,8 @@ def shard_params(params, mesh: Mesh, config: GPTConfig):
 
 
 def prepare_serving(params, config: GPTConfig, mesh: Optional[Mesh],
-                    batch_size: int, step_spmd_ok: bool = True):
+                    batch_size: int, step_spmd_ok: bool = True,
+                    kv_quant=None):
     """Shared InferenceEngine/ContinuousBatcher constructor policy (one
     place so engine and batcher can never drift): land the mesh in the
     config — padding/placing the params if the caller hasn't (pad_for_tp
@@ -201,10 +202,12 @@ def prepare_serving(params, config: GPTConfig, mesh: Optional[Mesh],
             # from the op-level Megatron layout (INT4 row-parallel scales);
             # no-op otherwise.
             params = step_spmd.place_params(params, config)
-    if not config.kv_packed and _gpt2.default_kv_packed(config):
-        # Head-pair-packed cache layout whenever the fused kernels are
-        # active (the D=64 half-lane fix — see config.kv_packed). Must be
-        # decided here, before any cache template / jit construction.
+    if not config.kv_packed and _gpt2.default_kv_packed(config, kv_quant):
+        # Head-pair-packed cache layout when the fused kernels are active
+        # and the cache dtype wants it (the D=64 half-lane fix — see
+        # models.gpt2.default_kv_packed for the measured dtype split).
+        # Must be decided here, before any cache template / jit
+        # construction.
         config = dataclasses.replace(config, kv_packed=True)
     return params, config
 

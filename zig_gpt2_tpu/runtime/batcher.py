@@ -245,7 +245,8 @@ class ContinuousBatcher:
         # from the cache/history shardings — no step-SPMD chunk, and the
         # op-level Megatron placement is kept for every leaf.
         params, config = prepare_serving(params, config, mesh, batch_size,
-                                         step_spmd_ok=self._spec is None)
+                                         step_spmd_ok=self._spec is None,
+                                         kv_quant=kv_quant)
         if self._spec is not None and config.kv_packed:
             # The cache only ever sees prefill + extend in this mode (no
             # decode_step runs), so the packed layout would be pure

@@ -209,7 +209,8 @@ class InferenceEngine:
         on TPU, 1 elsewhere (CPU tests keep per-token semantics)."""
         from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
-        params, config = prepare_serving(params, config, mesh, batch_size)
+        params, config = prepare_serving(params, config, mesh, batch_size,
+                                         kv_quant=kv_quant)
         self.mesh = mesh
         self.config = config
         self.params = params
