@@ -46,6 +46,9 @@ def test_two_process_psum_and_sharded_decode(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = ""
     repo = str(Path(__file__).parent.parent)
+    # Workers import the package by name; don't depend on the editable
+    # install being present in the venv (it vanished once mid-round).
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), str(port), str(out)],

@@ -115,3 +115,37 @@ def test_remat_forward_and_grads_match(rng):
     )
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+@pytest.mark.parametrize("packed", [False, True])
+def test_uniform_pos_append_bit_identical(params, quant, packed):
+    """config.uniform_pos (ONE batch-spanning dus per cache array, used when
+    every lane shares a position) must be bit-identical to the per-lane
+    unrolled appends — same cache bytes, same logits, every step."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    B, T_prompt, steps = 3, 5, 4
+    tokens = rng.integers(0, CFG.vocab_size, size=(B, T_prompt + steps))
+    base = dataclasses.replace(CFG, kv_packed=packed)
+    uni = dataclasses.replace(base, uniform_pos=True)
+
+    lengths = jnp.asarray([T_prompt] * B, jnp.int32)
+    cache0 = gpt2.init_kv_cache(base, batch_size=B, max_seq=32, quant=quant)
+    cache0, _ = gpt2.prefill(params, cache0, jnp.asarray(tokens[:, :T_prompt]),
+                             lengths, base)
+    caches = {False: cache0, True: jax.tree.map(jnp.copy, cache0)}
+    for t in range(T_prompt, T_prompt + steps):
+        tok = jnp.asarray(tokens[:, t])
+        logits = {}
+        for flag, cfg in ((False, base), (True, uni)):
+            caches[flag], logits[flag] = gpt2.decode_step(
+                params, caches[flag], tok, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(logits[True]), np.asarray(logits[False]),
+            err_msg=f"logits @ step {t}")
+        for name in caches[False]:
+            np.testing.assert_array_equal(
+                np.asarray(caches[True][name]), np.asarray(caches[False][name]),
+                err_msg=f"cache[{name}] @ step {t}")

@@ -65,6 +65,15 @@ class GPTConfig:
     # the single-device code paths (spmd=False, mesh=None) on per-shard
     # shapes; this field is what tells them the shapes are shards.
     manual_axis: Optional[str] = None
+    # All batch lanes share ONE decode position (proved by the caller:
+    # equal-length prompts in generate_scan, or batch_size == 1). The
+    # per-step K/V row + scale-plane appends then collapse from B unrolled
+    # dynamic_update_slices per array to ONE spanning the batch — at
+    # 1.5B B=16 INT8-KV the unrolled appends are 3072 serial dus/step,
+    # 15.4% of the step (hlo_stats, round 4). Purely a write-path
+    # optimization: attention still receives the per-lane position vector.
+    # MUST only be set when lane positions are provably equal.
+    uniform_pos: bool = False
     # w8a8: dynamically quantize activations to INT8 per row so matmuls
     # against per-channel INT8 weights run as s8×s8 MXU ops — 2× the
     # float-operand weight-load rate, the true GEMV floor (quant/kernels).

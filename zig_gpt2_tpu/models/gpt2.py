@@ -406,7 +406,18 @@ def _put_row_stacked(
 
     NOT a vmap: batching dynamic_update_slice over a non-leading operand
     axis lowers to a scatter/transpose of the whole cache — measured 44x
-    slower at B=16 on the 1.5B model."""
+    slower at B=16 on the 1.5B model.
+
+    A SCALAR ``pos`` means every lane shares the position
+    (config.uniform_pos): one dus spanning the batch axis replaces the
+    B-unrolled loop (the unroll is 3072 serial dus/step at 1.5B B=16,
+    15.4% of the step — hlo_stats, round 4)."""
+    if getattr(pos, "ndim", 1) == 0:
+        return jax.lax.dynamic_update_slice(
+            stack,
+            row[None, :, :, None, :].astype(stack.dtype),
+            (idx, 0, 0, pos, 0),
+        )
     b = row.shape[0]
     for i in range(b):
         stack = jax.lax.dynamic_update_slice(
@@ -422,7 +433,14 @@ def _put_scale_stacked(
 ) -> jax.Array:
     """Write (B, H) scales into the stacked (L, B, H, S) plane at
     (idx, b, …, pos[b]) — or (B, 2, Hp) rows into the packed (L, B, 2, Hp, S)
-    plane. Same per-batch unroll as _put_row_stacked."""
+    plane. Same per-batch unroll — and same scalar-``pos`` single-dus fast
+    path — as _put_row_stacked."""
+    if getattr(pos, "ndim", 1) == 0:
+        return jax.lax.dynamic_update_slice(
+            stack,
+            s[None, ..., None].astype(stack.dtype),
+            (idx, 0) + (0,) * (s.ndim - 1) + (pos,),
+        )
     b = s.shape[0]
     for i in range(b):
         row = s[i][None, None, ..., None]  # (1, 1, *s.shape[1:], 1)
@@ -619,6 +637,11 @@ def _block_decode(
     # head_dim=64 < 128 lanes can never satisfy that — see BENCHMARKS.md
     # "open issue".)
     caches = dict(caches)
+    # Cache-write position: collapse to ONE shared scalar when the caller
+    # proved every lane sits at the same position (config.uniform_pos) —
+    # the appends then cost one dus per array instead of B (see
+    # _put_row_stacked). Attention kernels still take the vector `pos`.
+    wpos = pos[0] if (config.uniform_pos and getattr(pos, "ndim", 0)) else pos
     sharded = _use_sharded_kernels(config)
     deferred = _use_fused_attention(config) or sharded
     packed = config.kv_packed
@@ -668,10 +691,10 @@ def _block_decode(
                     pos, layer=idx, packed=packed,
                     interpret=_fused_interpret(),
                 )
-        caches["k"] = _put_row_stacked(caches["k"], kq, idx, pos)
-        caches["v"] = _put_row_stacked(caches["v"], vq, idx, pos)
-        caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, pos)
-        caches["v_scale"] = _put_scale_stacked(caches["v_scale"], vs, idx, pos)
+        caches["k"] = _put_row_stacked(caches["k"], kq, idx, wpos)
+        caches["v"] = _put_row_stacked(caches["v"], vq, idx, wpos)
+        caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, wpos)
+        caches["v_scale"] = _put_scale_stacked(caches["v_scale"], vs, idx, wpos)
         if not deferred:
             attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
     else:
@@ -692,8 +715,8 @@ def _block_decode(
                     q, k, v, caches["k"], caches["v"], pos, layer=idx,
                     packed=packed, interpret=_fused_interpret(),
                 )
-        caches["k"] = _put_row_stacked(caches["k"], k, idx, pos)
-        caches["v"] = _put_row_stacked(caches["v"], v, idx, pos)
+        caches["k"] = _put_row_stacked(caches["k"], k, idx, wpos)
+        caches["v"] = _put_row_stacked(caches["v"], v, idx, wpos)
         if not deferred:
             attn = _decode_attention(q, caches, idx, pos + 1, config)
     if packed:

@@ -295,7 +295,7 @@ class InferenceEngine:
         return cache
 
     def _make_chunk(self, n: int, temperature: float, top_k: Optional[int],
-                    top_p: Optional[float]):
+                    top_p: Optional[float], uniform: bool = False):
         """The jitted n-step decode+sample chunk — the ONE steady-state
         compute function behind every generation path: ``(params, cache,
         token, key) -> (cache, toks (n, B), token, key)``, cache donated.
@@ -307,29 +307,44 @@ class InferenceEngine:
         the plain decode_step + sample scan (fused single-device kernels,
         or GSPMD/op-level shard_map per the config).
 
+        ``uniform``: the caller proves every batch lane decodes at the SAME
+        position (equal-length prompts, or batch_size == 1) — the cache
+        appends then collapse to one batch-spanning dus per array
+        (config.uniform_pos; 15.4% of the 1.5B B=16 step was unrolled
+        appends). The ContinuousBatcher never uses this (slots admit at
+        different positions).
+
         (Cached in a per-instance dict, not functools.lru_cache — a global
         lru_cache on an instance method pins the engine and its donated
         cache alive for the process lifetime.)"""
-        cache_key = ("chunk", n, temperature, top_k, top_p)
+        import dataclasses
+        import os
+
+        # A/B escape: ZG2_UNIFORM_POS=0 keeps the per-lane unrolled appends
+        # even when the caller proved the positions uniform.
+        uniform = uniform and os.environ.get("ZG2_UNIFORM_POS", "1") != "0"
+        cache_key = ("chunk", n, temperature, top_k, top_p, uniform)
         hit = self._step_cache.get(cache_key)
         if hit is not None:
             return hit
         from zig_gpt2_tpu.parallel import step_spmd
 
-        if step_spmd.enabled(self.config):
+        config = (dataclasses.replace(self.config, uniform_pos=True)
+                  if uniform else self.config)
+        if step_spmd.enabled(config):
             run = step_spmd.make_chunk_fn(
-                self.config, self.params, self.kv_quant, n,
+                config, self.params, self.kv_quant, n,
                 temperature, top_k, top_p,
             )
         else:
-            use_kernel = not self.config.spmd
-            mesh = self.config.mesh if self.config.spmd else None
+            use_kernel = not config.spmd
+            mesh = config.mesh if config.spmd else None
 
             def run(params, cache, token, key):
                 def body(carry, _):
                     cache, token, key = carry
                     cache, logits = gpt2.decode_step(params, cache, token,
-                                                     self.config)
+                                                     config)
                     key, sub = jax.random.split(key)
                     token = sample(logits, sub, temperature, top_k, top_p,
                                    use_kernel=use_kernel, mesh=mesh)
@@ -354,7 +369,9 @@ class InferenceEngine:
         hit = self._step_cache.get(cache_key)
         if hit is not None:
             return hit
-        run = self._make_chunk(1, temperature, top_k, top_p)
+        # Single-sequence by construction (generate_iter asserts B == 1),
+        # so the shared-position append fast path always applies.
+        run = self._make_chunk(1, temperature, top_k, top_p, uniform=True)
 
         def step(params, cache, token, key):
             cache, _, token, key = run(params, cache, token, key)
@@ -509,7 +526,8 @@ class InferenceEngine:
         # their tokens are never yielded, so visible output is identical to
         # the per-token loop.
         runner = self._make_chunk(self.decode_chunk, sampling.temperature,
-                                  sampling.top_k, sampling.top_p)
+                                  sampling.top_k, sampling.top_p,
+                                  uniform=True)  # B == 1 (asserted above)
         t1 = time.perf_counter()
         first = int(token[0])  # the first sampled token (one sync)
         first_ms = (time.perf_counter() - t1) * 1000.0
@@ -586,7 +604,11 @@ class InferenceEngine:
         token = sample(logits, sub, sampling.temperature, sampling.top_k,
                        sampling.top_p, use_kernel=not self.config.spmd,
                        mesh=self.config.mesh if self.config.spmd else None)
+        # Equal-length prompts keep every lane at one shared position for
+        # the whole scan -> batch-spanning single-dus cache appends.
+        uniform = len({int(x) for x in lengths}) == 1
         run = self._make_chunk(n_steps, sampling.temperature,
-                               sampling.top_k, sampling.top_p)
+                               sampling.top_k, sampling.top_p,
+                               uniform=uniform)
         _, tokens, _, _ = run(self.params, cache, token, key)
         return np.asarray(tokens).T  # tokens: (n_steps, B)
