@@ -94,6 +94,26 @@ def _emit_failure(reason: str) -> None:
     }))
 
 
+def _param_bytes(params) -> int:
+    """Total parameter bytes as stored (quantized leaves count their packed
+    size) — the weight traffic one decode step must stream from HBM."""
+    import jax
+
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree.leaves(params) if hasattr(x, "dtype"))
+
+
+def _emit(line: dict, out_path: str | None) -> None:
+    """Print the scoreboard line; optionally append it to a JSON-lines
+    artifact (run_all.sh uses this to capture the graded flagship row —
+    VERDICT r04 item 5)."""
+    s = json.dumps(line)
+    print(s)
+    if out_path:
+        with open(out_path, "a") as f:
+            f.write(s + "\n")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="124M")
@@ -159,6 +179,9 @@ def main() -> None:
     p.add_argument("--seq-parallel", action="store_true",
                    help="prefill sequence parallelism over the model axis "
                         "(with --mesh; the SP experiment, SURVEY §2.3)")
+    p.add_argument("--out", default=None, metavar="FILE",
+                   help="also append the JSON line to FILE (run_all.sh "
+                        "captures the graded flagship row this way)")
     args = p.parse_args()
 
     from zig_gpt2_tpu.utils.platform import apply_platform_override
@@ -278,12 +301,13 @@ def main() -> None:
                 return m
 
             run_stream()  # warmup/compile
-            best, rounds = 0.0, None
+            best, rounds, best_m = 0.0, None, None
             for _ in range(args.repeats):
-                tps = run_stream().tokens_per_sec
+                m = run_stream()
+                tps = m.tokens_per_sec
                 if tps > best:
-                    best, rounds = tps, spec.last_rounds
-            print(json.dumps({
+                    best, rounds, best_m = tps, spec.last_rounds, m
+            _emit({
                 "metric": f"gpt2_{args.model}_{args.dtype}"
                 + (f"_{args.quant}" if args.quant else "")
                 + (f"_kv{args.kv_quant}" if args.kv_quant else "")
@@ -294,7 +318,9 @@ def main() -> None:
                 "unit": "tokens/sec",
                 "vs_baseline": round(best / (1000.0 / 28.0), 2),
                 "tokens_per_round": round(args.steps / max(rounds or 1, 1), 2),
-            }))
+                "ms_per_token_p50": round(
+                    best_m.ms_per_token_percentile(50), 3),
+            }, args.out)
             return
 
         spec.generate_scan(prompts, lengths, args.steps, sampling)  # compile
@@ -307,7 +333,7 @@ def main() -> None:
                 best, rounds = dt, spec.last_rounds
             assert out.shape == (args.batch, args.steps)
         tps = args.batch * args.steps / best
-        print(json.dumps({
+        _emit({
             "metric": f"gpt2_{args.model}_{args.dtype}"
             + (f"_{args.quant}" if args.quant else "")
             + (f"_kv{args.kv_quant}" if args.kv_quant else "")
@@ -318,7 +344,8 @@ def main() -> None:
             "unit": "tokens/sec",
             "vs_baseline": round(tps / (1000.0 / 28.0), 2),
             "tokens_per_round": round(args.steps / max(rounds, 1), 2),
-        }))
+            "ms_per_token": round(1000.0 * best / args.steps, 3),
+        }, args.out)
         return
 
     engine = InferenceEngine(
@@ -429,7 +456,7 @@ def main() -> None:
             # Admission wall time is what the prefix cache buys.
             line["prefill_s"] = round(metrics.prefill_s, 3)
             line["prefix_hits"] = metrics.prefix_hits
-        print(json.dumps(line))
+        _emit(line, args.out)
         return
 
     if args.mode == "stream":
@@ -451,11 +478,12 @@ def main() -> None:
             return m
 
         run_stream()  # warmup/compile
-        best = 0.0
+        best, best_m = 0.0, None
         for _ in range(args.repeats):
             m = run_stream()
-            best = max(best, m.tokens_per_sec)
-        print(json.dumps({
+            if m.tokens_per_sec > best:
+                best, best_m = m.tokens_per_sec, m
+        _emit({
             "metric": f"gpt2_{args.model}_{args.dtype}"
             + (f"_{args.quant}" if args.quant else "")
             + (f"_kv{args.kv_quant}" if args.kv_quant else "")
@@ -464,7 +492,8 @@ def main() -> None:
             "value": round(best, 2),
             "unit": "tokens/sec",
             "vs_baseline": round(best / (1000.0 / 28.0), 2),
-        }))
+            "ms_per_token_p50": round(best_m.ms_per_token_percentile(50), 3),
+        }, args.out)
         return
 
     if args.mode == "prefill":
@@ -482,7 +511,7 @@ def main() -> None:
             run_prefill()
             best_s = min(best_s, time.perf_counter() - t0)
         tokens_per_sec = args.batch * args.prompt_len / best_s
-        print(json.dumps({
+        _emit({
             "metric": f"gpt2_{args.model}_{args.dtype}"
             + (f"_{args.quant}" if args.quant else "")
             + f"_prefill_b{args.batch}_t{args.prompt_len}_tokens_per_sec",
@@ -491,7 +520,7 @@ def main() -> None:
             # Reference prefill = one full forward per prompt token at
             # ~28ms each (no batched prefill exists there).
             "vs_baseline": round(tokens_per_sec / (1000.0 / 28.0), 2),
-        }))
+        }, args.out)
         return
 
     # Warmup (compiles prefill + scan loop).
@@ -507,20 +536,31 @@ def main() -> None:
 
     tokens_per_sec = 1000.0 / best_ms_per_token * args.batch
     # Reference baseline: ~28 ms/token (BASELINE.md).
-    print(
-        json.dumps(
-            {
-                "metric": f"gpt2_{args.model}_{args.dtype}"
-                + (f"_{args.quant}" if args.quant else "")
-                + (f"_kv{args.kv_quant}" if args.kv_quant else "")
-                + (f"_mesh{args.mesh}" if args.mesh else "")
-                + _tag(args)
-                + f"_decode_b{args.batch}_tokens_per_sec",
-                "value": round(tokens_per_sec, 2),
-                "unit": "tokens/sec",
-                "vs_baseline": round(tokens_per_sec / (1000.0 / 28.0), 2),
-            }
-        )
+    # weight_stream_gbps: achieved weight-streaming rate = bytes of stored
+    # params per step x steps/s — a chip-drift normalizer next to tok/s
+    # (the chip swings ~25% day to day, BENCHMARKS.md; this field moves
+    # with it, so a slow-chip day reads as low GB/s, not a regression).
+    steps_per_sec = 1000.0 / best_ms_per_token
+    _emit(
+        {
+            "metric": f"gpt2_{args.model}_{args.dtype}"
+            + (f"_{args.quant}" if args.quant else "")
+            + (f"_kv{args.kv_quant}" if args.kv_quant else "")
+            + (f"_mesh{args.mesh}" if args.mesh else "")
+            + _tag(args)
+            + f"_decode_b{args.batch}_tokens_per_sec",
+            "value": round(tokens_per_sec, 2),
+            "unit": "tokens/sec",
+            "vs_baseline": round(tokens_per_sec / (1000.0 / 28.0), 2),
+            # The graded pair (BASELINE.md): per-token latency is the step
+            # time (each lane gets one token per step; best over repeats —
+            # the scan path cannot see per-token p50, see --mode stream
+            # for the host-visible percentile).
+            "ms_per_token": round(best_ms_per_token, 3),
+            "weight_stream_gbps": round(
+                _param_bytes(engine.params) * steps_per_sec / 1e9, 1),
+        },
+        args.out,
     )
 
 

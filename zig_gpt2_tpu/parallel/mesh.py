@@ -128,16 +128,13 @@ def cache_pspecs(
     the pair axis on model — each shard owns whole local pairs, which is
     why the packed layout under a mesh requires an EVEN per-shard head
     count (models.gpt2.default_kv_packed gates on it). The packed INT8
-    scale planes (L, B, 2, H/2, S) carry the even/odd half axis BEFORE the
-    pair axis, hence the different spec."""
+    scale planes are per-PAIR (L, B, H/2, S) — same axis order as the
+    unpacked per-head planes, so one spec covers both layouts."""
     data = DATA_AXIS if data_sharded else None
     kv = P(None, data, MODEL_AXIS, None, None)
     specs = {"k": kv, "v": kv, "length": P(data)}
     if quant == "int8":
-        if config.kv_packed:
-            scale = P(None, data, None, MODEL_AXIS, None)
-        else:
-            scale = P(None, data, MODEL_AXIS, None)
+        scale = P(None, data, MODEL_AXIS, None)
         specs["k_scale"] = scale
         specs["v_scale"] = scale
     return specs

@@ -365,7 +365,13 @@ class InferenceEngine:
         """Single decode+sample step ``(params, cache, token, key) ->
         (cache, token, key)`` — the n=1 chunk with the (n, B) token trace
         dropped."""
-        cache_key = ("step1", temperature, top_k, top_p)
+        # Key includes the ZG2_UNIFORM_POS-resolved uniform flag like
+        # _make_chunk's key does (advisor r04): flipping the env var
+        # mid-process must not return a stale closure.
+        import os
+
+        uniform = os.environ.get("ZG2_UNIFORM_POS", "1") != "0"
+        cache_key = ("step1", temperature, top_k, top_p, uniform)
         hit = self._step_cache.get(cache_key)
         if hit is not None:
             return hit
