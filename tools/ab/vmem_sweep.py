@@ -9,7 +9,14 @@ boundary, which then sets the single-chunk cap in _pick_block.
 
 Usage: python tools/ab/vmem_sweep.py [hp] [B]   (defaults 13 16)
 Run serially — compiles go through the one TPU-owning process.
+
+Round 5: scale shapes are PER-PAIR ((B, Hp) rows, (L, B, Hp, S) planes) and
+the sweep raises ZG2_PACKED_VMEM_FENCE so _pick_block actually attempts
+single-chunk at every S — the printed OK/OOM boundary re-pins the fence.
 """
+import os
+
+os.environ.setdefault("ZG2_PACKED_VMEM_FENCE", str(1 << 30))
 import functools
 import sys
 
@@ -29,13 +36,13 @@ for s in (384, 512, 640, 768, 896, 1024, 1152, 1280, 1536, 2048):
     args = (
         sds((B, HP, D2), jnp.bfloat16),            # q
         sds((B, HP, D2), jnp.int8),                # k_new
-        sds((B, 2, HP), jnp.float32),              # ks_new
+        sds((B, HP), jnp.float32),                 # ks_new (per-pair)
         sds((B, HP, D2), jnp.int8),                # v_new
-        sds((B, 2, HP), jnp.float32),              # vs_new
+        sds((B, HP), jnp.float32),                 # vs_new
         sds((L, B, HP, s, D2), jnp.int8),          # k_cache
-        sds((L, B, 2, HP, s), jnp.float32),        # k_scale
+        sds((L, B, HP, s), jnp.float32),           # k_scale (per-pair)
         sds((L, B, HP, s, D2), jnp.int8),          # v_cache
-        sds((L, B, 2, HP, s), jnp.float32),        # v_scale
+        sds((L, B, HP, s), jnp.float32),           # v_scale
         sds((B,), jnp.int32),                      # length
         sds((), jnp.int32),                        # layer
     )

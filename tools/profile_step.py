@@ -97,6 +97,17 @@ def main() -> None:
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--keep", default=None, metavar="DIR",
                    help="keep the raw trace in DIR (default: tempdir)")
+    p.add_argument("--mode", default="decode",
+                   choices=["decode", "serve", "prefill"],
+                   help="decode: engine generate_scan (uniform positions); "
+                        "serve: ContinuousBatcher with MIXED-length "
+                        "requests (divergent slot positions — the "
+                        "cache-append tax / ring A/B view); prefill: one "
+                        "whole-prompt pass (the MFU question)")
+    p.add_argument("--requests", type=int, default=48,
+                   help="request count for --mode serve")
+    p.add_argument("--decode-chunk", type=int, default=8,
+                   help="decode chunk for --mode serve")
     args = p.parse_args()
 
     from zig_gpt2_tpu.utils.platform import apply_platform_override
@@ -118,25 +129,64 @@ def main() -> None:
         from zig_gpt2_tpu.quant import quantize as q
 
         params = q.quantize_params(params, mode=args.quant)
-    engine = InferenceEngine(
-        config, params, batch_size=args.batch,
-        max_seq=args.prompt_len + args.steps,
-        prompt_buckets=(args.prompt_len,),
-        kv_quant=None if args.kv_quant == "none" else args.kv_quant,
-    )
     sampling = SamplingConfig(temperature=0.8, seed=0)
     rng = np.random.default_rng(0)
-    prompts = rng.integers(0, config.vocab_size,
-                           (args.batch, args.prompt_len)).astype(np.int32)
-    lengths = [args.prompt_len] * args.batch
-
-    # Warmup: compile prefill + the decode scan.
-    np.asarray(engine.generate_scan(prompts, lengths, args.steps, sampling))
-
+    kv_quant = None if args.kv_quant == "none" else args.kv_quant
     trace_dir = args.keep or tempfile.mkdtemp(prefix="zg2prof_")
-    with jax.profiler.trace(trace_dir):
-        out = engine.generate_scan(prompts, lengths, args.steps, sampling)
-        np.asarray(out)  # tunnel-safe sync (block_until_ready lies)
+
+    if args.mode == "serve":
+        from zig_gpt2_tpu.runtime.batcher import ContinuousBatcher
+
+        batcher = ContinuousBatcher(
+            config, params, batch_size=args.batch,
+            max_seq=args.prompt_len + args.steps,
+            prompt_buckets=(args.prompt_len,), sampling=sampling,
+            kv_quant=kv_quant, decode_chunk=args.decode_chunk,
+        )
+
+        def submit_all(seed):
+            r = np.random.default_rng(seed)
+            for _ in range(args.requests):
+                n = int(r.integers(max(args.prompt_len // 2, 1),
+                                   args.prompt_len))
+                batcher.submit(list(r.integers(0, config.vocab_size, n)),
+                               max_new_tokens=int(
+                                   r.integers(args.steps // 2, args.steps)))
+
+        submit_all(1)
+        batcher.run()  # warmup/compile
+        submit_all(2)
+        with jax.profiler.trace(trace_dir):
+            batcher.run()
+    else:
+        engine = InferenceEngine(
+            config, params, batch_size=args.batch,
+            max_seq=args.prompt_len + args.steps,
+            prompt_buckets=(args.prompt_len,),
+            kv_quant=kv_quant,
+        )
+        prompts = rng.integers(0, config.vocab_size,
+                               (args.batch, args.prompt_len)).astype(np.int32)
+        lengths = [args.prompt_len] * args.batch
+
+        if args.mode == "prefill":
+            toks = jnp.asarray(prompts)
+            lens = jnp.asarray(lengths, jnp.int32)
+            _, lg = engine._prefill(engine.params, engine.new_cache(),
+                                    toks, lens)
+            np.asarray(lg)  # warmup/compile + tunnel-safe sync
+            with jax.profiler.trace(trace_dir):
+                _, lg = engine._prefill(engine.params, engine.new_cache(),
+                                        toks, lens)
+                np.asarray(lg)
+        else:
+            # Warmup: compile prefill + the decode scan.
+            np.asarray(engine.generate_scan(prompts, lengths, args.steps,
+                                            sampling))
+            with jax.profiler.trace(trace_dir):
+                out = engine.generate_scan(prompts, lengths, args.steps,
+                                           sampling)
+                np.asarray(out)  # tunnel-safe sync (block_until_ready lies)
 
     files = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))

@@ -49,8 +49,8 @@ class GPTConfig:
     # seq=1 — SP is prefill-only by construction.
     seq_parallel: bool = False
     # Head-pair-PACKED KV cache layout: (L, B, H/2, S, 2D) with adjacent
-    # heads sharing one 128-lane row, scale planes (L, B, 2, H/2, S)
-    # half-grouped. Kills the D=64 half-empty-lane waste in the fused
+    # heads sharing one 128-lane row; INT8 scales are per-PAIR, planes
+    # (L, B, H/2, S). Kills the D=64 half-empty-lane waste in the fused
     # decode-attention kernel's f32 temporaries (~2x its VPU work — see
     # ops/attention._build_kernel_packed). Set by the runtime when the
     # fused single-device kernel path is active (models.gpt2
@@ -80,6 +80,20 @@ class GPTConfig:
     # Weight layout is unchanged (per-channel INT8); this is a runtime
     # choice. CLI: --quant w8a8.
     act_quant: bool = False
+    # RING KV cache (the serving append fix, round 5): cache ROW is
+    # decoupled from token POSITION. A single device-resident write
+    # pointer (cache["wptr"], scalar) advances one row per decode step
+    # and EVERY lane writes there — one batch-spanning dus per array
+    # regardless of per-slot positions (uniform_pos generalized to
+    # position-divergent continuous batching; the B-unrolled appends were
+    # 15.4% of the 1.5B B=16 step). Lane validity becomes the ring
+    # interval [cache["start"][b], +length[b]) mod S — softmax over a row
+    # SET is permutation-invariant, so attention only needs the interval
+    # mask (ops.layers._decode_valid_mask; kernels take the extra start
+    # prefetch). Admissions roll each lane's linear rows into ring
+    # position on splice (runtime/batcher.py). Affects decode_step only;
+    # prefill/extend build LINEAR lane caches that admissions rotate.
+    ring_cache: bool = False
 
     @property
     def head_dim(self) -> int:

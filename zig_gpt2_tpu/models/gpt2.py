@@ -91,6 +91,40 @@ def default_kv_packed(config: GPTConfig, kv_quant=None) -> bool:
     return _use_fused_attention(config)
 
 
+def fuse_qkv_params(params: Params) -> Params:
+    """Concatenate the three attention projections into ONE stacked
+    ``wqkv`` leaf (N axis: [Q | K | V]) so each decode/prefill layer runs
+    one (E, 3A) weight stream instead of three (E, A) dispatches — the
+    reference's packed c_attn GEMM (ops.zig:143), recovered for the
+    SINGLE-DEVICE runtime only (under TP the Q/K/V boundaries at A, 2A
+    don't align with shard boundaries — see init_params). Applied by
+    parallel.mesh.prepare_serving under ZG2_FUSE_QKV; a runtime-local
+    transform, never written back to checkpoints.
+
+    Works on float ("w") and quantized ("qw"/"qw4" + "scale") layers: the
+    INT4 half-split nibble packing and the scale groups live on the K
+    axis, so an N-axis concat preserves both."""
+    blocks = dict(params["blocks"])
+    attn = dict(blocks["attn"])
+    if "wqkv" in attn:
+        return params
+    parts = [attn.pop(n) for n in ("wq", "wk", "wv")]
+    fused = {
+        key: jnp.concatenate([p[key] for p in parts], axis=-1)
+        for key in parts[0]
+        if key in ("w", "qw", "qw4", "scale", "b")
+    }
+    attn["wqkv"] = fused
+    blocks["attn"] = attn
+    return dict(params, blocks=blocks)
+
+
+def _fuse_qkv_enabled() -> bool:
+    """ZG2_FUSE_QKV=1 enables the fused QKV projection (A/B candidate for
+    the B=1 headline step — default off until the hardware A/B)."""
+    return os.environ.get("ZG2_FUSE_QKV", "0") == "1"
+
+
 def _packed_heads(config: GPTConfig) -> tuple[int, int]:
     """(padded head count, packed row count) for the packed cache layout.
     An odd head count (1.5B's 25) gets one zero phantom head — padded per
@@ -142,35 +176,36 @@ def _wmm_interpret() -> bool:
     return os.environ.get("ZG2_WMM") == "interpret"
 
 
-def _decode_attention(q, caches, idx, length, config):
+def _decode_attention(q, caches, idx, length, config, start=None):
     """Decode attention over the stacked (L, B, H, S, D) cache at layer idx.
     ``q`` and the result are in the cache's layout (packed when
-    config.kv_packed)."""
+    config.kv_packed). ``start``: ring-interval starts (config.ring_cache)."""
     from zig_gpt2_tpu.ops import attention as fused
 
     if _use_fused_attention(config):
         return fused.decode_attention_fused(
             q, caches["k"], caches["v"], length, layer=idx,
             packed=config.kv_packed, interpret=_fused_interpret(),
+            start=start,
         )
     k = jax.lax.dynamic_index_in_dim(caches["k"], idx, 0, keepdims=False)
     v = jax.lax.dynamic_index_in_dim(caches["v"], idx, 0, keepdims=False)
     if config.kv_packed:  # jnp fallback: unpack views (correct, not hot)
         out = ops.decode_attention(
             fused.unpack_heads_rows(q), fused.unpack_heads_seq(k),
-            fused.unpack_heads_seq(v), length)
+            fused.unpack_heads_seq(v), length, start=start)
         return fused.pack_heads_rows(out)
-    return ops.decode_attention(q, k, v, length)
+    return ops.decode_attention(q, k, v, length, start=start)
 
 
-def _decode_attention_quant(q, caches, idx, length, config):
+def _decode_attention_quant(q, caches, idx, length, config, start=None):
     from zig_gpt2_tpu.ops import attention as fused
 
     if _use_fused_attention(config):
         return fused.decode_attention_quant_fused(
             q, caches["k"], caches["k_scale"], caches["v"], caches["v_scale"],
             length, layer=idx, packed=config.kv_packed,
-            interpret=_fused_interpret(),
+            interpret=_fused_interpret(), start=start,
         )
     sl = {
         name: jax.lax.dynamic_index_in_dim(caches[name], idx, 0, keepdims=False)
@@ -182,10 +217,11 @@ def _decode_attention_quant(q, caches, idx, length, config):
             fused.unpack_heads_seq(sl["k"]),
             fused.unpack_pair_scales_seq(sl["k_scale"]),
             fused.unpack_heads_seq(sl["v"]),
-            fused.unpack_pair_scales_seq(sl["v_scale"]), length)
+            fused.unpack_pair_scales_seq(sl["v_scale"]), length, start=start)
         return fused.pack_heads_rows(out)
     return ops.decode_attention_quant(
-        q, sl["k"], sl["k_scale"], sl["v"], sl["v_scale"], length
+        q, sl["k"], sl["k_scale"], sl["v"], sl["v_scale"], length,
+        start=start,
     )
 
 Params = Dict[str, Any]
@@ -278,6 +314,7 @@ def init_kv_cache(
     max_seq: Optional[int] = None,
     dtype: jnp.dtype = jnp.float32,
     quant: Optional[str] = None,
+    ring: Optional[bool] = None,
 ) -> KVCache:
     """Preallocate the full fixed-shape KV cache (reference: main.zig:298-299
     allocates context_size×n_embed per block up front).
@@ -301,20 +338,30 @@ def init_kv_cache(
                  config.head_dim)
         plane = shape[:-1]
     if quant == "int8":
-        return {
+        cache = {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
             "k_scale": jnp.zeros(plane, jnp.float32),
             "v_scale": jnp.zeros(plane, jnp.float32),
             "length": jnp.zeros((batch_size,), jnp.int32),
         }
-    if quant is not None:
+    elif quant is not None:
         raise ValueError(f"unknown KV quantization {quant!r}")
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "length": jnp.zeros((batch_size,), jnp.int32),
-    }
+    else:
+        cache = {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "length": jnp.zeros((batch_size,), jnp.int32),
+        }
+    if config.ring_cache if ring is None else ring:
+        # Ring mode (see GPTConfig.ring_cache): per-lane interval starts +
+        # the shared scalar write pointer, both device-resident cache state.
+        # ``ring=False`` overrides for LINEAR lane caches built under a
+        # ring config (the batcher's admission slot caches — admissions
+        # rotate them into ring position on splice).
+        cache["start"] = jnp.zeros((batch_size,), jnp.int32)
+        cache["wptr"] = jnp.zeros((), jnp.int32)
+    return cache
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +396,9 @@ def _qkv(
     def heads(t):
         return t.reshape(*t.shape[:-1], n_heads, t.shape[-1] // n_heads)
 
+    if "wqkv" in attn_p:  # fused projection (fuse_qkv_params)
+        qkv = _linear(attn_p["wqkv"], h, spmd, aq)
+        return tuple(heads(t) for t in jnp.split(qkv, 3, axis=-1))
     return (
         heads(_linear(attn_p["wq"], h, spmd, aq)),
         heads(_linear(attn_p["wk"], h, spmd, aq)),
@@ -473,20 +523,23 @@ def _gemv_dispatch(
     NO bias and NO collective — callers add the bias after their psum.
 
     Selection: fused stacked qmm when the quantized Pallas kernel may run
-    (TPU backend, GEMV-shaped rows<=64, ZG2_QMM!=0, ``allow_qmm`` — False
-    under GSPMD tracing where the custom call can't partition); stacked
-    wmm for float weights (_use_wmm); else the jnp fallbacks (w8a8 when
-    per-channel INT8 + act_quant, grouped dequant matmul otherwise, plain
-    dot for float). Shared by the single-device path (_linear_at) and the
-    step-level manual body (_row_linear_manual) so gate fixes land once."""
+    (TPU backend, GEMV-shaped rows <= kernels.GEMV_MAX_ROWS — 64 for the
+    w8a8 variant — ZG2_QMM!=0, ``allow_qmm`` — False under GSPMD tracing
+    where the custom call can't partition); stacked wmm for float weights
+    (_use_wmm); else the jnp fallbacks (w8a8 when per-channel INT8 +
+    act_quant, grouped dequant matmul otherwise, plain dot for float).
+    Shared by the single-device path (_linear_at) and the step-level
+    manual body (_row_linear_manual) so gate fixes land once."""
     rows = x2.shape[0]
     if "qw" in p or "qw4" in p:
+        from zig_gpt2_tpu.quant import kernels
+
         int4 = "qw4" in p
         qw = p["qw4"] if int4 else p["qw"]
-        if (allow_qmm and jax.default_backend() == "tpu" and rows <= 64
+        cap = (kernels.W8A8_MAX_ROWS if (config.act_quant and not int4)
+               else kernels.GEMV_MAX_ROWS)
+        if (allow_qmm and jax.default_backend() == "tpu" and rows <= cap
                 and os.environ.get("ZG2_QMM", "1") != "0"):
-            from zig_gpt2_tpu.quant import kernels
-
             return kernels.qmm(x2, qw, p["scale"], int4=int4, layer=idx,
                                w8a8=config.act_quant)
         from zig_gpt2_tpu.quant import quantize as q
@@ -496,12 +549,23 @@ def _gemv_dispatch(
         if config.act_quant and not int4 and pl["scale"].shape[-2] == 1:
             return q.w8a8_matmul(x2, qfull, pl["scale"])
         return q._grouped_matmul_jnp(x2, qfull, pl["scale"])
-    if rows <= 64 and _use_wmm(config):
+    if _use_wmm(config):
         from zig_gpt2_tpu.quant import kernels
 
-        return kernels.wmm(x2, p["w"], layer=idx, interpret=_wmm_interpret())
+        if rows <= kernels.GEMV_MAX_ROWS:
+            return kernels.wmm(x2, p["w"], layer=idx,
+                               interpret=_wmm_interpret())
     w = jax.lax.dynamic_index_in_dim(p["w"], idx, 0, keepdims=False)
     return jnp.dot(x2, w, preferred_element_type=jnp.float32)
+
+
+def _qmm_cap(config: GPTConfig, int4: bool) -> int:
+    """Row cap for the fused quantized GEMV kernels (see
+    quant.kernels.GEMV_MAX_ROWS): 256, except 64 for the w8a8 variant."""
+    from zig_gpt2_tpu.quant import kernels
+
+    return (kernels.W8A8_MAX_ROWS if (config.act_quant and not int4)
+            else kernels.GEMV_MAX_ROWS)
 
 
 def _row_linear_manual(
@@ -565,8 +629,9 @@ def _linear_at(
         return _row_linear_manual(p, x, idx, config)
     quantized = "qw" in p or "qw4" in p
     rows = x.size // x.shape[-1]
-    if quantized and rows <= 64 and _use_sharded_kernels(config):
-        int4 = "qw4" in p
+    int4 = "qw4" in p
+    if (quantized and rows <= _qmm_cap(config, int4)
+            and _use_sharded_kernels(config)):
         qw = p["qw4"] if int4 else p["qw"]
         from zig_gpt2_tpu.parallel import shard_kernels as sk
 
@@ -586,7 +651,8 @@ def _linear_at(
     # re-entered the per-layer Pallas qmm, breaking the escape hatch).
     # Excluded under GSPMD tracing: the custom call can't be partitioned
     # (the op-level shard_map branch above is the mesh alternative).
-    if rows <= 64 and not config.spmd and (quantized or _use_wmm(config)):
+    if (rows <= _qmm_cap(config, int4) and not config.spmd
+            and (quantized or _use_wmm(config))):
         x2 = x.reshape(rows, x.shape[-1])
         y = _gemv_dispatch(p, x2, idx, config)
         n = (p["qw4"] if "qw4" in p else p["qw"] if "qw" in p else p["w"]).shape[-1]
@@ -604,6 +670,7 @@ def _block_decode(
     caches: Dict[str, jax.Array],
     pos: jax.Array,
     config: GPTConfig,
+    ring_state: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One transformer block for a single decode token, operating directly
     on the scan-STACKED caches (the cache lives in the scan carry so jit
@@ -616,9 +683,14 @@ def _block_decode(
       idx: scalar int32 layer index.
       caches: {"k","v": (L, B, H, max_seq, D)} plus
         {"k_scale","v_scale": (L, B, H, max_seq)} when the cache is INT8.
-      pos: (B,) int32 — index of the current token (== #cached tokens).
+      pos: (B,) int32 — valid row count per lane (== token position).
+      ring_state: (start (B,), wptr scalar) under config.ring_cache — the
+        append lands at ring row ``wptr`` for EVERY lane (one
+        batch-spanning dus per array) and attention masks the interval
+        [start, start+pos) mod S instead of the prefix [0, pos).
 
-    Returns (x, caches) with the new K/V row written at (idx, :, :, pos).
+    Returns (x, caches) with the new K/V row written at (idx, :, :, pos)
+    (ring: (idx, :, :, wptr)).
     """
     ln1 = _layer_slice(blocks["ln_1"], idx)
     h = ops.layer_norm(x, ln1["w"], ln1["b"], config.layer_norm_eps)
@@ -627,9 +699,13 @@ def _block_decode(
     def heads(t):
         return t.reshape(*t.shape[:-1], H, t.shape[-1] // H)
 
-    q = heads(_linear_at(blocks["attn"]["wq"], h, idx, config))  # (B, H, D)
-    k = heads(_linear_at(blocks["attn"]["wk"], h, idx, config))
-    v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
+    if "wqkv" in blocks["attn"]:  # fused projection (fuse_qkv_params)
+        qkv = _linear_at(blocks["attn"]["wqkv"], h, idx, config)
+        q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = heads(_linear_at(blocks["attn"]["wq"], h, idx, config))  # (B,H,D)
+        k = heads(_linear_at(blocks["attn"]["wk"], h, idx, config))
+        v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
 
     # Append this token's K/V at row `pos` (per batch element). Replaces the
     # reference's append + full-cache transpose (ops.zig:151-158) with an
@@ -642,9 +718,17 @@ def _block_decode(
     # Cache-write position: collapse to ONE shared scalar when the caller
     # proved every lane sits at the same position (config.uniform_pos) —
     # the appends then cost one dus per array instead of B (see
-    # _put_row_stacked). Attention kernels still take the vector `pos`.
-    wpos = pos[0] if (config.uniform_pos and getattr(pos, "ndim", 0)) else pos
+    # _put_row_stacked). Ring mode generalizes this to position-DIVERGENT
+    # lanes: the write row is the shared ring pointer, always scalar.
+    # Attention kernels still take the vector `pos` (+ ring starts).
+    if ring_state is not None:
+        ring_start, wpos = ring_state
+    else:
+        ring_start = None
+        wpos = pos[0] if (config.uniform_pos and getattr(pos, "ndim", 0)) else pos
     sharded = _use_sharded_kernels(config)
+    assert ring_state is None or not sharded, \
+        "ring cache is not supported on the op-level shard_map path"
     deferred = _use_fused_attention(config) or sharded
     packed = config.kv_packed
     if packed:
@@ -694,14 +778,15 @@ def _block_decode(
                     caches["k"], caches["k_scale"],
                     caches["v"], caches["v_scale"],
                     pos, layer=idx, packed=packed,
-                    interpret=_fused_interpret(),
+                    interpret=_fused_interpret(), start=ring_start,
                 )
         caches["k"] = _put_row_stacked(caches["k"], kq, idx, wpos)
         caches["v"] = _put_row_stacked(caches["v"], vq, idx, wpos)
         caches["k_scale"] = _put_scale_stacked(caches["k_scale"], ks, idx, wpos)
         caches["v_scale"] = _put_scale_stacked(caches["v_scale"], vs, idx, wpos)
         if not deferred:
-            attn = _decode_attention_quant(q, caches, idx, pos + 1, config)
+            attn = _decode_attention_quant(q, caches, idx, pos + 1, config,
+                                           start=ring_start)
     else:
         if packed:
             k, v = fused_mod.pack_heads_rows(k), fused_mod.pack_heads_rows(v)
@@ -719,11 +804,13 @@ def _block_decode(
                 attn = fused.decode_attention_deferred_fused(
                     q, k, v, caches["k"], caches["v"], pos, layer=idx,
                     packed=packed, interpret=_fused_interpret(),
+                    start=ring_start,
                 )
         caches["k"] = _put_row_stacked(caches["k"], k, idx, wpos)
         caches["v"] = _put_row_stacked(caches["v"], v, idx, wpos)
         if not deferred:
-            attn = _decode_attention(q, caches, idx, pos + 1, config)
+            attn = _decode_attention(q, caches, idx, pos + 1, config,
+                                     start=ring_start)
     if packed:
         # (B, Hp, 2D) -> (B, hpad, D), drop the phantom head if any.
         attn = fused_mod.unpack_heads_rows(attn)[:, :H]
@@ -744,7 +831,9 @@ def _lm_head(params: Params, x: jax.Array, config: GPTConfig) -> jax.Array:
     if "lm_head" in params:  # untied / quantized override
         p = params["lm_head"]
         rows = x.size // x.shape[-1]
-        if ("qw" in p or "qw4" in p) and rows <= 64 and _use_sharded_kernels(config):
+        if (("qw" in p or "qw4" in p)
+                and rows <= _qmm_cap(config, "qw4" in p)
+                and _use_sharded_kernels(config)):
             # Vocab(column)-parallel sharded GEMV — the single biggest
             # decode matmul keeps its Pallas kernel under the mesh.
             from zig_gpt2_tpu.parallel import shard_kernels as sk
@@ -894,15 +983,23 @@ def decode_step(
     this with ``donate_argnums`` on the cache for in-place HBM updates.
     """
     pos = cache["length"]  # (B,) index of the incoming token
+    ring = config.ring_cache
+    rows = cache["k"].shape[-2]
+    # Ring: clamp idle lanes' runaway positions out of the wpe table (live
+    # lanes retire before the window; linear mode relies on dus clamping).
+    wpe_pos = jnp.minimum(pos, params["wpe"].shape[0] - 1) if ring else pos
     x = _embed_tokens(params["wte"], tokens, config) + ops.embedding(
-        pos, params["wpe"]
+        wpe_pos, params["wpe"]
     )
-    layer_caches = {name: c for name, c in cache.items() if name != "length"}
+    meta = ("length", "start", "wptr")
+    layer_caches = {name: c for name, c in cache.items() if name not in meta}
+    ring_state = (cache["start"], cache["wptr"]) if ring else None
     blocks = params["blocks"]  # closure-invariant: scan never slices weights
 
     def step(carry, idx):
         x, caches = carry
-        x, caches = _block_decode(x, blocks, idx, caches, pos, config)
+        x, caches = _block_decode(x, blocks, idx, caches, pos, config,
+                                  ring_state=ring_state)
         return (x, caches), None
 
     # Unrolling trades compile time for the TPU while-loop's per-iteration
@@ -918,7 +1015,18 @@ def decode_step(
     )
     x = ops.layer_norm(x, params["ln_f"]["w"], params["ln_f"]["b"], config.layer_norm_eps)
     logits = _lm_head(params, x, config)
-    new_cache = dict(new_layer_caches, length=pos + 1)
+    if ring:
+        # Length clamps at rows-1: a live lane's interval never reaches the
+        # full ring (retirement guarantees it; the clamp contains idle
+        # lanes so the interval mask can't wrap onto the write row).
+        new_cache = dict(
+            new_layer_caches,
+            length=jnp.minimum(pos + 1, rows - 1),
+            start=cache["start"],
+            wptr=(cache["wptr"] + 1) % rows,
+        )
+    else:
+        new_cache = dict(new_layer_caches, length=pos + 1)
     return new_cache, logits
 
 
@@ -935,8 +1043,9 @@ def _block_extend(
     stacked KV cache at per-lane offsets — the speculative-decode verify /
     catch-up path (runtime/speculative.py). Same weight handling as
     _block_decode (stacked closure weights, _linear_at with the wmm/qmm
-    GEMV kernels: rows = B*T stays <= 64), but T query rows per pass, so
-    the weights stream from HBM ONCE per window instead of once per token.
+    GEMV kernels up to rows = B*T <= quant.kernels.GEMV_MAX_ROWS, jnp
+    dequant beyond), but T query rows per pass, so the weights stream
+    from HBM ONCE per window instead of once per token.
 
     Attention is append-then-attend over the full cache via
     ops.extend_attention — the window's causal structure falls out of the
@@ -969,9 +1078,13 @@ def _block_extend(
     def heads(t):
         return t.reshape(*t.shape[:-1], H, t.shape[-1] // H)
 
-    q = heads(_linear_at(blocks["attn"]["wq"], h, idx, config))  # (B, T, H, D)
-    k = heads(_linear_at(blocks["attn"]["wk"], h, idx, config))
-    v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
+    if "wqkv" in blocks["attn"]:  # fused projection (fuse_qkv_params)
+        qkv = _linear_at(blocks["attn"]["wqkv"], h, idx, config)
+        q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = heads(_linear_at(blocks["attn"]["wq"], h, idx, config))
+        k = heads(_linear_at(blocks["attn"]["wk"], h, idx, config))
+        v = heads(_linear_at(blocks["attn"]["wv"], h, idx, config))
     q, k, v = (t.swapaxes(1, 2) for t in (q, k, v))  # (B, H, T, D)
 
     packed = config.kv_packed

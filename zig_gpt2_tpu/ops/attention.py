@@ -128,15 +128,17 @@ def _pick_block(b, h, s, itemsize, quant, foldable=False, packed=False):
         per_row = bc * h * 128 * itemsize * 2 * 2  # K+V, double-buffered
         budget_rows = _BLOCK_BUDGET // per_row
         single_ok = budget_rows >= s_pad
-        if packed and quant and bc * h * s_pad > 13 * 768:
+        fence = int(os.environ.get("ZG2_PACKED_VMEM_FENCE", str(13 * 768)))
+        if packed and quant and bc * h * s_pad > fence:
             # The packed quant kernel's statically-unrolled inner loop
             # scoped-VMEM OOMs before the block budget does: measured on
             # v5e (tools/ab/vmem_sweep.py, hp=13, round-4 HALF-AXIS scale
             # layout) single-chunk compiles through sc=768 (13.9M) and
             # dies at sc=896 (18.42M > 16M) — fence hp*sc <= 13*768.
             # Round-5 per-PAIR scales halve the plane reads and their f32
-            # temporaries, so this fence is likely loose now; keep it
-            # until the round-5 vmem_sweep re-measures the boundary.
+            # temporaries, so this fence is likely loose now; the env
+            # override exists for vmem_sweep to probe the true boundary —
+            # re-pin the default from the round-5 sweep.
             single_ok = False
         if single_ok:
             sc, n_chunks = s_pad, 1
@@ -229,6 +231,11 @@ def _lengths_for(q: jax.Array, length) -> jax.Array:
     return length
 
 
+# Index maps take (*grid indices, *scalar-prefetch refs); the prefetch
+# count varies per variant — lengths, optional ring starts, optional layer
+# index — so the maps use varargs with the LAYER ref pinned as the LAST
+# prefetch arg (p[-1]) for the stacked blocks.
+
 def _row_spec(h, d, stacked, bc=1):
     """Per-cell (1[, bc], H, D) rows (q / k_new / v_new / out),
     chunk-invariant. With bc > 1 the arrays carry an explicit bc axis
@@ -239,32 +246,18 @@ def _row_spec(h, d, stacked, bc=1):
     dims, so the bc axis is free; merging (B, H) -> bc*H instead needs an
     8-aligned H, which 25 heads never is)."""
     if bc > 1:
-        if stacked:
-            return pl.BlockSpec((1, bc, h, d),
-                                lambda i, j, ln, idx: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, bc, h, d), lambda i, j, ln: (i, 0, 0, 0),
+        return pl.BlockSpec((1, bc, h, d), lambda i, j, *p: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    if stacked:
-        return pl.BlockSpec((1, h, d), lambda i, j, ln, idx: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, d), lambda i, j, ln: (i, 0, 0),
+    return pl.BlockSpec((1, h, d), lambda i, j, *p: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _srow_spec(h, stacked, bc=1):
     """Per-cell (1[, bc], H, 1) scale rows (deferred INT8 variants)."""
     if bc > 1:
-        if stacked:
-            return pl.BlockSpec((1, bc, h, 1),
-                                lambda i, j, ln, idx: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, bc, h, 1), lambda i, j, ln: (i, 0, 0, 0),
+        return pl.BlockSpec((1, bc, h, 1), lambda i, j, *p: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    if stacked:
-        return pl.BlockSpec((1, h, 1), lambda i, j, ln, idx: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, 1), lambda i, j, ln: (i, 0, 0),
+    return pl.BlockSpec((1, h, 1), lambda i, j, *p: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -273,16 +266,16 @@ def _cache_spec(h, d, stacked, sc, bc=1):
     if bc > 1:
         if stacked:
             return pl.BlockSpec((1, 1, bc, h, sc, d),
-                                lambda i, j, ln, idx: (idx[0], i, 0, 0, j, 0),
+                                lambda i, j, *p: (p[-1][0], i, 0, 0, j, 0),
                                 memory_space=pltpu.VMEM)
         return pl.BlockSpec((1, bc, h, sc, d),
-                            lambda i, j, ln: (i, 0, 0, j, 0),
+                            lambda i, j, *p: (i, 0, 0, j, 0),
                             memory_space=pltpu.VMEM)
     if stacked:
         return pl.BlockSpec((1, 1, h, sc, d),
-                            lambda i, j, ln, idx: (idx[0], i, 0, j, 0),
+                            lambda i, j, *p: (p[-1][0], i, 0, j, 0),
                             memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, sc, d), lambda i, j, ln: (i, 0, j, 0),
+    return pl.BlockSpec((1, h, sc, d), lambda i, j, *p: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -294,20 +287,20 @@ def _plane_spec(h, stacked, sc, bc=1):
     if bc > 1:
         if stacked:
             return pl.BlockSpec((1, 1, bc, h, sc),
-                                lambda i, j, ln, idx: (idx[0], i, 0, 0, j),
+                                lambda i, j, *p: (p[-1][0], i, 0, 0, j),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, bc, h, sc), lambda i, j, ln: (i, 0, 0, j),
+        return pl.BlockSpec((1, bc, h, sc), lambda i, j, *p: (i, 0, 0, j),
                             memory_space=pltpu.VMEM)
     if stacked:
         return pl.BlockSpec((1, 1, h, sc),
-                            lambda i, j, ln, idx: (idx[0], i, 0, j),
+                            lambda i, j, *p: (p[-1][0], i, 0, j),
                             memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, h, sc), lambda i, j, ln: (i, 0, j),
+    return pl.BlockSpec((1, h, sc), lambda i, j, *p: (i, 0, j),
                         memory_space=pltpu.VMEM)
 
 
 def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
-                         sc, scale, out_dtype, padded=True):
+                         sc, scale, out_dtype, padded=True, ring=0):
     """Head-pair-PACKED flash-decode kernel body.
 
     The D=64 half-lane fix (BENCHMARKS.md perf model; round-2 verdict item
@@ -336,17 +329,21 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
     # rows of the unpacked kernel's (H, rows, 128) budget, so inner may
     # legitimately come out 2x larger.
     dyn_inner = False
-    if not quant:
+    # Ring mode: validity is an INTERVAL mod ring, not a prefix — the
+    # dynamic-trip-count skip (which assumes prefix validity) is off.
+    if not quant and not ring:
         for cand in range(min(inner, sc), 31, -8):
             if sc % cand == 0:
                 inner, dyn_inner = cand, True
                 break
 
     def kernel(*args):
+        it = iter(args)
+        len_ref = next(it)
+        start_ref = next(it) if ring else None
         if stacked:
-            len_ref, _idx_ref, *refs = args
-        else:
-            len_ref, *refs = args
+            next(it)  # layer idx: consumed by the index maps
+        refs = list(it)
         it = iter(refs)
         q_ref = next(it)
         if deferred:
@@ -408,7 +405,9 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
 
         for t in range(bc):
             qf = row(q_ref, t).astype(jnp.float32)  # (Hp, 2D)
-            seq_len = len_ref[i * bc + t] if bc > 1 else len_ref[i]
+            lane = i * bc + t if bc > 1 else i
+            seq_len = len_ref[lane]
+            ring_start = start_ref[lane] if ring else None
 
             if deferred:
                 knf = row(kn_ref, t).astype(jnp.float32)
@@ -452,7 +451,14 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
                     s_hi = s_hi * ksp
                 ids = j * sc + c0 + jax.lax.broadcasted_iota(
                     jnp.int32, (hp, ln), 1)
-                valid = ids < seq_len
+                if ring:  # interval [start, start+len) mod ring
+                    rel = ids - ring_start
+                    rel = rel + jnp.where(rel < 0, ring, 0)
+                    valid = rel < seq_len
+                    if padded:  # block-padding rows past S never alias in
+                        valid = valid & (ids < ring)
+                else:
+                    valid = ids < seq_len
                 s_lo = jnp.where(valid, s_lo, MASK_VALUE)
                 s_hi = jnp.where(valid, s_hi, MASK_VALUE)
                 m_lo_new = jnp.maximum(m_lo, jnp.max(s_lo, axis=-1, keepdims=True))
@@ -525,7 +531,7 @@ def _build_kernel_packed(*, stacked, quant, deferred, bc, hp, d, n_chunks,
 
 
 def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
-                  scale, out_dtype, padded=True):
+                  scale, out_dtype, padded=True, ring=0):
     """One flash-decode kernel body covering all variants.
 
     ``h`` is the per-sequence head count. With bc > 1 the kernel serially
@@ -551,18 +557,22 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
     # it: the scale planes' minor dim is S (lanes), and Mosaic requires
     # dynamic lane-dim offsets to be 128-aligned — measured error; the
     # float cache slices S on the SUBLANE dim (D minor), which is fine.
+    # RING variants can't either: validity is an interval mod ring, not a
+    # prefix, so no chunk can be skipped by trip count.
     dyn_inner = False
-    if not quant:
+    if not quant and not ring:
         for cand in range(min(inner, sc), 31, -8):
             if sc % cand == 0:
                 inner, dyn_inner = cand, True
                 break
 
     def kernel(*args):
+        it = iter(args)
+        len_ref = next(it)
+        start_ref = next(it) if ring else None
         if stacked:
-            len_ref, _idx_ref, *refs = args
-        else:
-            len_ref, *refs = args
+            next(it)  # layer idx: consumed by the index maps
+        refs = list(it)
         it = iter(refs)
         q_ref = next(it)
         if deferred:
@@ -612,7 +622,9 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
 
         for t in range(bc):
             qf = row(q_ref, t).astype(jnp.float32)  # (H, D)
-            seq_len = len_ref[i * bc + t] if bc > 1 else len_ref[i]
+            lane = i * bc + t if bc > 1 else i
+            seq_len = len_ref[lane]
+            ring_start = start_ref[lane] if ring else None
 
             # Running softmax state is carried as VALUES through the inner
             # loop (scratch read-modify-writes per iteration measured ~2.6x
@@ -656,7 +668,14 @@ def _build_kernel(*, stacked, quant, deferred, bc, h, d, n_chunks, sc,
                     ).astype(jnp.float32)
                 ids = j * sc + c0 + jax.lax.broadcasted_iota(
                     jnp.int32, (h, ln), 1)
-                valid = ids < seq_len
+                if ring:  # interval [start, start+len) mod ring
+                    rel = ids - ring_start
+                    rel = rel + jnp.where(rel < 0, ring, 0)
+                    valid = rel < seq_len
+                    if padded:  # block-padding rows past S never alias in
+                        valid = valid & (ids < ring)
+                else:
+                    valid = ids < seq_len
                 scores = jnp.where(valid, scores, MASK_VALUE)
                 m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
                 corr = jnp.exp(m - m_new)
@@ -750,8 +769,10 @@ def _attention_call(
     *, q, k_cache, v_cache, length, layer, interpret, quant,
     deferred, k_scale=None, v_scale=None,
     k_new=None, ks_new=None, v_new=None, vs_new=None, packed=False,
+    start=None,
 ):
     stacked = layer is not None
+    ring = k_cache.shape[-2] if start is not None else 0
     if packed:
         # q/k_new/v_new: (B, Hp, 2D) head-pair rows; caches (…, Hp, S, 2D);
         # per-PAIR scale planes (…, Hp, S); ks_new/vs_new (B, Hp).
@@ -812,18 +833,25 @@ def _attention_call(
         kernel = _build_kernel_packed(
             stacked=stacked, quant=quant, deferred=deferred, bc=bc,
             hp=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale,
-            out_dtype=q.dtype, padded=n_chunks * sc > s,
+            out_dtype=q.dtype, padded=n_chunks * sc > s, ring=ring,
         )
     else:
         kernel = _build_kernel(
             stacked=stacked, quant=quant, deferred=deferred, bc=bc,
             h=h, d=d, n_chunks=n_chunks, sc=sc, scale=scale,
-            out_dtype=q.dtype, padded=n_chunks * sc > s,
+            out_dtype=q.dtype, padded=n_chunks * sc > s, ring=ring,
         )
     scratch_lead = (bc,) if bc > 1 else ()
     state_lead = (*scratch_lead, 2) if packed else scratch_lead
+    # Prefetch scalars: lengths[, ring starts][, layer idx] — the layer
+    # ref stays LAST (the index maps read p[-1]).
+    scalars = [_lengths_for(q, length)]
+    if ring:
+        scalars.append(_lengths_for(q, start))
+    if stacked:
+        scalars.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 if stacked else 1,
+        num_scalar_prefetch=len(scalars),
         grid=(bg, n_chunks),
         in_specs=in_specs,
         out_specs=_row_spec(h, dl, stacked, bc),
@@ -833,9 +861,6 @@ def _attention_call(
             pltpu.VMEM((*scratch_lead, h, dl), jnp.float32),  # running V acc
         ],
     )
-    scalars = [_lengths_for(q, length)]
-    if stacked:
-        scalars.append(jnp.reshape(layer, (1,)).astype(jnp.int32))
     out_shape = ((bg, bc, h, dl) if bc > 1 else (bg, h, dl))
     out = pl.pallas_call(
         kernel,
@@ -848,52 +873,61 @@ def _attention_call(
 
 @functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_fused(q, k_cache, v_cache, length, *,
-                           interpret=False, layer=None, packed=False):
+                           interpret=False, layer=None, packed=False,
+                           start=None):
     """Fused decode attention. q: (B, H, D); caches: (B, H, S, D) —
     stacked (L, B, H, S, D) when ``layer`` is given; length: scalar or (B,)
     valid rows. Returns (B, H, D) in q.dtype.
 
     ``packed=True`` takes the head-pair-packed layout instead: q (B, Hp, 2D)
     and caches (…, Hp, S, 2D) with head 2i/2i+1 in lane halves [0:D]/[D:2D]
-    (see _build_kernel_packed); returns (B, Hp, 2D)."""
+    (see _build_kernel_packed); returns (B, Hp, 2D).
+
+    ``start`` (B,): RING mode — valid rows are the interval
+    [start, start+length) mod S instead of the prefix [0, length) (the
+    serving ring cache, models.gpt2; ops.layers._decode_valid_mask is the
+    jnp reference)."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=False, deferred=False, packed=packed,
+        start=start,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_quant_fused(q, k_cache, k_scale, v_cache, v_scale,
                                  length, *, interpret=False, layer=None,
-                                 packed=False):
+                                 packed=False, start=None):
     """Fused decode attention over an INT8 cache. k_scale/v_scale:
     (…, H, S) f32 per-(token, head) scales — per-PAIR (…, Hp, S) when
-    ``packed`` (one scale per packed 128-lane row)."""
+    ``packed`` (one scale per packed 128-lane row). ``start``: ring mode
+    (see decode_attention_fused)."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=True, deferred=False,
-        k_scale=k_scale, v_scale=v_scale, packed=packed,
+        k_scale=k_scale, v_scale=v_scale, packed=packed, start=start,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_deferred_fused(q, k_new, v_new, k_cache, v_cache,
                                     length, *, interpret=False, layer=None,
-                                    packed=False):
+                                    packed=False, start=None):
     """Deferred-append decode attention: attends over ``length`` OLD cache
     rows plus an explicit self-term for the (un-appended) current token —
-    mathematically identical to append-then-attend over length+1 rows."""
+    mathematically identical to append-then-attend over length+1 rows.
+    ``start``: ring mode — the OLD rows are [start, start+length) mod S."""
     return _attention_call(
         q=q, k_cache=k_cache, v_cache=v_cache, length=length, layer=layer,
         interpret=interpret, quant=False, deferred=True,
-        k_new=k_new, v_new=v_new, packed=packed,
+        k_new=k_new, v_new=v_new, packed=packed, start=start,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "packed"))
 def decode_attention_quant_deferred_fused(
     q, k_new, ks_new, v_new, vs_new, k_cache, k_scale, v_cache, v_scale,
-    length, *, interpret=False, layer=None, packed=False,
+    length, *, interpret=False, layer=None, packed=False, start=None,
 ):
     """Deferred-append decode attention over an INT8 cache. k_new/v_new are
     the already-quantized (B, H, D) int8 rows with (B, H) scales ((B, Hp, 2D)
@@ -904,4 +938,5 @@ def decode_attention_quant_deferred_fused(
         interpret=interpret, quant=True, deferred=True,
         k_scale=k_scale, v_scale=v_scale,
         k_new=k_new, ks_new=ks_new, v_new=v_new, vs_new=vs_new, packed=packed,
+        start=start,
     )

@@ -156,6 +156,25 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _decode_valid_mask(max_seq: int, length, start=None) -> jax.Array:
+    """(B, 1, S) (or (1, 1, S) for scalar length) validity mask for decode
+    attention. ``start=None``: a length PREFIX — rows [0, length). With
+    ``start`` (B,) given, the RING-interval mask [start, start+length) mod
+    max_seq (runtime ring cache: cache row is decoupled from token
+    position; softmax over a row SET is permutation-invariant, so interval
+    membership is all attention needs)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (max_seq, 1), 0).squeeze(-1)
+    length = jnp.asarray(length)
+    if start is None:
+        if length.ndim == 0:
+            return (pos < length)[None, None, :]
+        return (pos[None, :] < length[:, None])[:, None, :]
+    start = jnp.asarray(start)
+    rel = pos[None, :] - start[:, None]  # (B, S)
+    rel = rel + jnp.where(rel < 0, max_seq, 0)
+    return (rel < length[:, None])[:, None, :]
+
+
 def decode_attention_quant(
     q: jax.Array,
     k_cache: jax.Array,
@@ -163,6 +182,7 @@ def decode_attention_quant(
     v_cache: jax.Array,
     v_scale: jax.Array,
     length: jax.Array,
+    start: Optional[jax.Array] = None,
 ) -> jax.Array:
     """decode_attention over an INT8 KV cache — dequantization is folded
     into the attention math, never materialized:
@@ -174,6 +194,7 @@ def decode_attention_quant(
       q: (B, H, D) float.  k_cache/v_cache: (B, H, S, D) int8.
       k_scale/v_scale: (B, H, S) f32 per-row scales.
       length: (B,) or scalar int32 valid rows.
+      start: optional (B,) ring-interval start rows (see _decode_valid_mask).
     """
     head_dim = q.shape[-1]
     scale = 1.0 / math.sqrt(head_dim)
@@ -182,13 +203,7 @@ def decode_attention_quant(
         "bhd,bhsd->bhs", q.astype(jnp.bfloat16), kf,
         preferred_element_type=jnp.float32,
     ) * (k_scale * scale)
-    max_seq = k_cache.shape[-2]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (max_seq, 1), 0).squeeze(-1)
-    length = jnp.asarray(length)
-    if length.ndim == 0:
-        valid = (pos < length)[None, None, :]
-    else:
-        valid = (pos[None, :] < length[:, None])[:, None, :]
+    valid = _decode_valid_mask(k_cache.shape[-2], length, start)
     scores = jnp.where(valid, scores, MASK_VALUE)
     probs = softmax(scores, axis=-1)  # f32
     pv = (probs * v_scale).astype(jnp.bfloat16)
@@ -203,6 +218,7 @@ def decode_attention(
     k_cache: jax.Array,
     v_cache: jax.Array,
     length: jax.Array,
+    start: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-token decode attention over a fixed-shape KV cache.
 
@@ -212,6 +228,7 @@ def decode_attention(
         are garbage and masked out.
       length: scalar or (batch,) int32 — number of valid cache rows
         (including the current token, already appended).
+      start: optional (B,) ring-interval start rows (see _decode_valid_mask).
 
     Reference: ops.zig:249-307 (scaled_dot_product_attention with q_len=1 —
     the single query attends to all cached keys, no causal mask needed; the
@@ -223,15 +240,7 @@ def decode_attention(
     scores = jnp.einsum(
         "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32
     ) * scale
-    max_seq = k_cache.shape[-2]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (max_seq, 1), 0).squeeze(-1)
-    length = jnp.asarray(length)
-    if length.ndim == 0:
-        valid = pos < length  # (max_seq,)
-        valid = valid[None, None, :]
-    else:
-        valid = pos[None, :] < length[:, None]  # (batch, max_seq)
-        valid = valid[:, None, :]
+    valid = _decode_valid_mask(k_cache.shape[-2], length, start)
     scores = jnp.where(valid, scores, MASK_VALUE)
     probs = softmax(scores, axis=-1)
     return jnp.einsum(

@@ -206,6 +206,11 @@ def prepare_serving(params, config: GPTConfig, mesh: Optional[Mesh],
         # Must be decided here, before any cache template / jit
         # construction.
         config = dataclasses.replace(config, kv_packed=True)
+    if mesh is None and _gpt2._fuse_qkv_enabled():
+        # Single-device only: one (E, 3A) QKV weight stream per layer
+        # instead of three dispatches (the reference's packed c_attn,
+        # ops.zig:143). Under TP the Q/K/V shard boundaries don't align.
+        params = _gpt2.fuse_qkv_params(params)
     return params, config
 
 

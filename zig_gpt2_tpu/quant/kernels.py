@@ -28,6 +28,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Row cap for dispatching these kernels (models.gpt2._gemv_dispatch,
+# quant.quantize.quantized_linear): the whole (rows, K) activation block
+# stays VMEM-resident per program, so past this the weight-streaming GEMV
+# design stops being the right shape and the plain dequant-then-MXU-GEMM
+# path wins anyway (prefill). Round 4 capped rows at 64 (the speculative
+# B*(k+1) bound, VERDICT r04 item 4); the block_n choosers now budget the
+# activation block explicitly, lifting the cap to 256. The w8a8 kernel
+# keeps the old 64 cap — its in-kernel f32 activation-quantization
+# temporaries scale with rows, and rows > 64 w8a8 routes to the jnp
+# w8a8_matmul instead.
+GEMV_MAX_ROWS = 256
+W8A8_MAX_ROWS = 64
+
 
 def _kc_for(k: int, group: int, int4: bool) -> int:
     """Dequant chunk rows (0 = whole tile). ~512 keeps the f32 chunk
@@ -171,9 +184,16 @@ def wmm(
         # Widest tile whose double-buffered block fits ~8 MB, preferring a
         # width that divides N: edge blocks cost MXU weight-load cycles on
         # the masked columns even though their HBM reads are bounded.
+        # rows > 64 (the lifted GEMV cap) additionally budget the resident
+        # (b, K) activation block + the f32 out block — small-b tiling is
+        # untouched (the proven hot path).
         itemsize = jnp.dtype(w.dtype).itemsize
-        fits = [bn for bn in (2048, 1024, 512, 256, 128)
-                if 2 * k * bn * itemsize <= 8 * 1024 * 1024]
+
+        def fits_vmem(bn):
+            xtra = (b * k * x.dtype.itemsize + 8 * b * bn) if b > 64 else 0
+            return 2 * k * bn * itemsize + xtra <= 8 * 1024 * 1024
+
+        fits = [bn for bn in (2048, 1024, 512, 256, 128) if fits_vmem(bn)]
         block_n = next((bn for bn in fits if n % bn == 0),
                        fits[0] if fits else 128)
     block_n = min(block_n, n)
@@ -271,11 +291,15 @@ def qmm(
         # of int8 — fewer programs means less of the ~0.5 us/program fixed
         # cost that made the old 128/256-wide tiles dtype-invariant
         # (BENCHMARKS.md: 25 us for a 1600x6400 tile in EVERY dtype).
+        # rows > 64 (the lifted GEMV cap, GEMV_MAX_ROWS) additionally
+        # budget the resident (b, K) activation block + the f32 out block;
+        # small-b tiling is untouched (the proven hot path).
         rows = qw.shape[-2]
         kc = _kc_for(k, group, int4) or k
         block_n = 128
         for bn in (1024, 512, 256, 128):
-            if 2 * rows * bn + 10 * kc * bn <= 8 * 1024 * 1024:
+            xtra = (b * k * x.dtype.itemsize + 8 * b * bn) if b > 64 else 0
+            if 2 * rows * bn + 10 * kc * bn + xtra <= 8 * 1024 * 1024:
                 block_n = bn
                 break
     block_n = min(block_n, n)

@@ -230,19 +230,20 @@ def quantized_linear(
     rows = x2.shape[0]
     w8a8 = act_quant and not int4 and p["scale"].shape[-2] == 1
 
+    from zig_gpt2_tpu.quant import kernels
+
+    cap = kernels.W8A8_MAX_ROWS if w8a8 else kernels.GEMV_MAX_ROWS
     if (
-        jax.default_backend() == "tpu" and rows <= 64 and not spmd
+        jax.default_backend() == "tpu" and rows <= cap and not spmd
         and not _under_spmd()
         and os.environ.get("ZG2_QMM", "1") != "0"  # triage escape hatch
     ):
         # Decode / small-batch GEMV: memory-bound on the weight read — the
         # fused kernel streams int8/int4 straight from HBM.
-        from zig_gpt2_tpu.quant import kernels
-
         y = kernels.qmm(x2, q, p["scale"], int4=int4, w8a8=w8a8)
     elif w8a8:
         y = w8a8_matmul(x2, q, p["scale"])
-    elif rows <= 64:
+    elif rows <= kernels.GEMV_MAX_ROWS:
         qfull = unpack_int4(q) if int4 else q
         y = _grouped_matmul_jnp(x2, qfull, p["scale"])
     else:

@@ -27,6 +27,7 @@ prompt per process (main.zig:344-371) — this subsystem is the BASELINE
 
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -149,16 +150,41 @@ def _admit_epilogue(cache, rows_cache, logits_last, idxs, feed, key, *, k,
     sample each lane's first token straight into the device-resident feed
     vector, and (speculative serve) seed each slot's token history with
     [prompt..., first] and cursor len+1 (the engine's convention: the
-    unprocessed feed token sits at L-1)."""
+    unprocessed feed token sits at L-1).
+
+    RING cache (config.ring_cache, detected by the ``wptr`` leaf): the
+    slot caches are LINEAR (rows [0, n)); each lane is rotated by
+    (wptr - n) mod R on its S axis during the splice so its last prompt
+    row lands at ring row wptr-1 — the next decode write at wptr then
+    continues the lane's interval. start[slot] records the rotation;
+    wptr itself is untouched (admissions don't consume ring rows)."""
+    ring = "wptr" in cache
+    if ring:
+        R = cache["k"].shape[-2]
+        wptr = cache["wptr"]
+        lens = rows_cache["length"]  # (k,) valid rows per admitted lane
+        shifts = [(wptr - lens[j]) % R for j in range(k)]
     out = {}
     for name, leaf in cache.items():
+        if name == "wptr":
+            out[name] = leaf
+            continue
+        if name == "start":
+            for j in range(k):
+                leaf = jax.lax.dynamic_update_slice(
+                    leaf, shifts[j][None], (idxs[j],))
+            out[name] = leaf
+            continue
         axis = 0 if name == "length" else 1
         rows = rows_cache[name].astype(leaf.dtype)
         for j in range(k):  # unrolled: k is static, idxs[j] dynamic
+            lane = jax.lax.slice_in_dim(rows, j, j + 1, axis=axis)
+            if ring and name != "length":
+                s_axis = (lane.ndim - 1 if name.endswith("_scale")
+                          else lane.ndim - 2)
+                lane = jnp.roll(lane, shifts[j], axis=s_axis)
             leaf = jax.lax.dynamic_update_slice_in_dim(
-                leaf,
-                jax.lax.slice_in_dim(rows, j, j + 1, axis=axis),
-                idxs[j], axis=axis,
+                leaf, lane, idxs[j], axis=axis,
             )
         out[name] = leaf
     key, sub = jax.random.split(key)
@@ -232,11 +258,10 @@ class ContinuousBatcher:
                                  "per sync) — leave decode_chunk=1")
             if spec_k < 1:
                 raise ValueError("spec_k must be >= 1")
-            if batch_size * (spec_k + 1) > 64:
-                raise ValueError(
-                    f"batch_size*(spec_k+1) = {batch_size * (spec_k + 1)} "
-                    "exceeds the 64-row stacked-GEMV kernel bound "
-                    "(CLAUDE.md invariants) — lower spec_k or batch_size")
+            # (The round-4 batch_size*(spec_k+1) <= 64 guard is gone: the
+            # stacked-GEMV kernels now take up to 256 rows —
+            # quant.kernels.GEMV_MAX_ROWS — and larger verify windows fall
+            # back to the jnp dequant path, slower but correct.)
             self._spec = (spec_k, max(int(spec_ngram), 1),
                           max(int(spec_chunk), 1))
 
@@ -255,6 +280,19 @@ class ContinuousBatcher:
             import dataclasses
 
             config = dataclasses.replace(config, kv_packed=False)
+        # RING cache (GPTConfig.ring_cache): slots decode at divergent
+        # positions, so the linear layout pays B unrolled dus appends per
+        # array per step (15.4% of the 1.5B B=16 step, hlo_stats r04); the
+        # ring write pointer collapses them to ONE batch-spanning dus.
+        # Speculative serve extends (not decode-steps) — linear there;
+        # mesh serving keeps linear until the step-SPMD body carries the
+        # ring state. ZG2_RING=0 is the A/B escape.
+        self._ring = (self._spec is None and mesh is None
+                      and os.environ.get("ZG2_RING", "1") != "0")
+        if self._ring:
+            import dataclasses
+
+            config = dataclasses.replace(config, ring_cache=True)
         self.mesh = mesh
         self.config = config
         self.params = params
@@ -287,6 +325,11 @@ class ContinuousBatcher:
                           + (self._spec[2] + 1) * (self._spec[0] + 1))
         else:
             cache_rows = self.max_seq + (self.decode_chunk - 1)
+            if self._ring:
+                # One extra ring row: a lane's interval must stay < R so
+                # the interval mask can never wrap onto the write row
+                # (max live interval = max_seq + decode_chunk - 1).
+                cache_rows += 1
         self.cache = gpt2.init_kv_cache(
             config, batch_size, cache_rows, dtype=cache_dtype, quant=kv_quant
         )
@@ -502,7 +545,8 @@ class ContinuousBatcher:
                 slot_fmt = cache_formats(jax.eval_shape(
                     lambda: gpt2.init_kv_cache(
                         self.config, 1, self._cache_rows,
-                        dtype=self._cache_dtype, quant=self.kv_quant)))
+                        dtype=self._cache_dtype, quant=self.kv_quant,
+                        ring=False)))
             fn = jax.jit(
                 functools.partial(gpt2.prefill, config=self.config),
                 donate_argnums=(1,), out_shardings=(slot_fmt, None))
@@ -511,7 +555,7 @@ class ContinuousBatcher:
         toks[0, :n] = prefix_ids
         init = gpt2.init_kv_cache(self.config, 1, self._cache_rows,
                                   dtype=self._cache_dtype,
-                                  quant=self.kv_quant)
+                                  quant=self.kv_quant, ring=False)
         if self._slot_shardings is not None:
             init = jax.device_put(init, self._slot_shardings)
         pre, _ = fn(self.params, init, jnp.asarray(toks),
@@ -813,6 +857,7 @@ class ContinuousBatcher:
                 slot_init = gpt2.init_kv_cache(
                     self.config, k, self._cache_rows,
                     dtype=self._cache_dtype, quant=self.kv_quant,
+                    ring=False,  # admissions rotate linear lanes on splice
                 )
                 if self._slot_shardings is not None:
                     slot_init = jax.device_put(slot_init, self._slot_shardings)

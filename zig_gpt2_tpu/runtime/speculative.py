@@ -260,14 +260,10 @@ class SpeculativeEngine:
         when the target is already the smallest model of the family."""
         if k < 1:
             raise ValueError("k must be >= 1")
-        if batch_size * (k + 1) > 64:
-            # Past 64 rows the verify window falls off the stacked GEMV
-            # kernels onto the per-layer weight-slice fallback (the ~135
-            # GB/s materialization path — CLAUDE.md invariants). Specu-
-            # lation is a small-batch latency feature; refuse loudly.
-            raise ValueError(
-                f"batch_size*(k+1) = {batch_size * (k + 1)} exceeds the "
-                "64-row stacked-GEMV kernel bound — lower k or batch_size")
+        # (Round 4 refused batch_size*(k+1) > 64 — the old stacked-GEMV
+        # kernel row bound. Round 5 lifted the kernel cap to 256
+        # (quant.kernels.GEMV_MAX_ROWS) and past it the dispatch falls
+        # back to the jnp dequant path, slower but correct — no guard.)
         self.config = _single_device_config(config, extend_only=True)
         self.params = params
         self.k = k
