@@ -150,6 +150,11 @@ def main() -> None:
     p.add_argument("--spec-chunk", type=int, default=1,
                    help="speculative serve: rounds per host sync "
                         "(--mode serve --speculative ngram)")
+    p.add_argument("--spec-min-tpr", type=float, default=0.0,
+                   help="speculative serve: tokens-per-round AUTO-OFF "
+                        "threshold (batcher spec_min_tpr). Bench default "
+                        "0 = disabled, so A/B runs measure the raw spec "
+                        "mechanism; production default is 1.5")
     p.add_argument("--prefix-len", type=int, default=0,
                    help="serve: every request's prompt starts with a "
                         "shared N-token prefix, registered in the prefix "
@@ -371,7 +376,8 @@ def main() -> None:
             # from --decode-chunk — its default of 8 would silently make
             # the unlabeled spec runs the MORE-chunked variant.)
             spec_kw = dict(speculative="ngram", spec_k=args.spec_k,
-                           spec_chunk=args.spec_chunk)
+                           spec_chunk=args.spec_chunk,
+                           spec_min_tpr=args.spec_min_tpr)
             args.decode_chunk = 1
 
         from zig_gpt2_tpu.runtime.batcher import BatcherMetrics

@@ -248,3 +248,29 @@ def test_spec_serve_temperature_runs(params, rng):
     done = b.run()
     assert len(done) == 3
     assert all(len(r.generated) == 6 for r in done)
+
+
+def test_spec_auto_off_parity_and_telemetry(params, rng):
+    """Speculation AUTO-OFF (spec_min_tpr): random traffic accepts ~nothing
+    (tokens_per_round ~1), so an impossible threshold must flip the batcher
+    onto the plain decode path mid-run — and the committed streams must
+    stay bit-identical to plain serving THROUGH the switch (the fallback
+    is the same exact greedy law). The r05 hardware motivation: the same
+    spec serve config measured +60% on greedy repeat traffic but 0.43x at
+    temperature 0.2 (ABRUN_r5 serve16_spec_k4)."""
+    prompts = [list(rng.integers(0, GPT2_NANO.vocab_size, 4 + n % 7))
+               for n in range(24)]
+    want, _ = _serve(params, prompts, 12, batch_size=8)
+    got, m = _serve(params, prompts, 12, batch_size=8,
+                    speculative="ngram", spec_k=3,
+                    spec_min_tpr=100.0)  # impossible bar: must trip
+    assert got == want
+    assert m.spec_auto_off_step is not None
+    assert m.as_dict(8)["spec_auto_off_step"] == m.spec_auto_off_step
+    # Rounds stopped accumulating after the switch: strictly fewer
+    # slot-rounds than a full spec run of this workload would record.
+    full, mf = _serve(params, prompts, 12, batch_size=8,
+                      speculative="ngram", spec_k=3, spec_min_tpr=0.0)
+    assert full == want
+    assert mf.spec_auto_off_step is None
+    assert m.spec_slot_rounds < mf.spec_slot_rounds

@@ -56,14 +56,18 @@ def _fused_interpret() -> bool:
 
 def default_kv_packed(config: GPTConfig, kv_quant=None) -> bool:
     """Whether the runtime should serve with the head-pair-packed KV cache
-    (config.kv_packed): when the fused kernels are active, head_dim is the
-    GPT-2 64 (two heads fill one 128-lane register row) and the cache is
-    FLOAT. The layout halves the decode-attention kernel's VPU work
-    (ops/attention._build_kernel_packed) and the round-4 hardware A/Bs
-    split by cache dtype: bf16 cache +12% (124M B=1, 1035.7 -> 1162.7
-    tok/s, ab_wmm grid) but INT8 cache 0.945x (1.5B B=16 INT4+INT8KV,
-    1031.6 -> 974.6, ab_packed) — the packed quant kernel also scoped-VMEM
-    OOMs at single-chunk sc >= ~1152 (vmem_sweep). ZG2_KV_PACKED=0 forces
+    (config.kv_packed): when the fused kernels are active and head_dim is
+    the GPT-2 64 (two heads fill one 128-lane register row). The layout
+    halves the decode-attention kernel's VPU work
+    (ops/attention._build_kernel_packed). Hardware A/Bs: bf16 cache +12%
+    (124M B=1, 1035.7 -> 1162.7 tok/s, r04 ab_wmm grid). The INT8 cache
+    lost under per-HEAD scales (0.945x, r04 ab_packed — half-axis scale
+    planes) but WINS under the per-PAIR scales that are now the packed
+    quant layout (+7.4%, 1149.8 -> 1234.8 tok/s, 1.5B INT4+INT8KV B=16,
+    r05 ab_packed_pair; ctx-1152 multi-chunk 336.7 tok/s vs r04's
+    unpacked 243.5) — so packed is default for BOTH cache dtypes since
+    r05. Single-chunk scoped-VMEM still caps at sc=768 per vmem_sweep_pair
+    (_pick_block fences force multi-chunk above). ZG2_KV_PACKED=0 forces
     off, =1 forces on wherever legal (A/B).
 
     Under a mesh the layout works iff decode runs the step-level manual
@@ -73,8 +77,6 @@ def default_kv_packed(config: GPTConfig, kv_quant=None) -> bool:
     op-level shard_kernels specs are unpacked-only.)"""
     opt = os.environ.get("ZG2_KV_PACKED", "auto")
     if opt == "0":
-        return False
-    if opt != "1" and kv_quant is not None:
         return False
     if config.head_dim != 64:
         return False

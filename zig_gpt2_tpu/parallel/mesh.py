@@ -117,7 +117,8 @@ def param_pspecs(
 
 
 def cache_pspecs(
-    config: GPTConfig, quant: Optional[str] = None, data_sharded: bool = True
+    config: GPTConfig, quant: Optional[str] = None, data_sharded: bool = True,
+    ring: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """KV cache (L, B, H, S, D): batch on data, heads on model. With
     quant="int8" the per-(token, head) scale planes (L, B, H, S) shard the
@@ -137,6 +138,14 @@ def cache_pspecs(
         scale = P(None, data, MODEL_AXIS, None)
         specs["k_scale"] = scale
         specs["v_scale"] = scale
+    if config.ring_cache if ring is None else ring:
+        # Ring leaves: per-lane starts ride the batch split; the write
+        # pointer is one global scalar, replicated. ``ring=False``
+        # overrides for LINEAR caches built under a ring config (the
+        # batcher's admission slot caches / prefix snapshots — they gain
+        # ring leaves only when spliced into the shared cache).
+        specs["start"] = P(data)
+        specs["wptr"] = P()
     return specs
 
 
@@ -154,9 +163,9 @@ def param_shardings(mesh: Mesh, config: GPTConfig, params=None) -> Dict[str, Any
 
 def cache_shardings(
     mesh: Mesh, config: GPTConfig, quant: Optional[str] = None,
-    data_sharded: bool = True,
+    data_sharded: bool = True, ring: Optional[bool] = None,
 ) -> Dict[str, Any]:
-    return _named(mesh, cache_pspecs(config, quant, data_sharded))
+    return _named(mesh, cache_pspecs(config, quant, data_sharded, ring=ring))
 
 
 def shard_params(params, mesh: Mesh, config: GPTConfig):

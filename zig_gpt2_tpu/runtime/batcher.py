@@ -76,6 +76,7 @@ class BatcherMetrics:
     spec_rounds: int = 0           # speculative serve: device rounds run
     spec_slot_rounds: int = 0      # … (live slot, round) pairs consumed
     spec_committed: int = 0        # … tokens committed in those pairs
+    spec_auto_off_step: Optional[int] = None  # step at which auto-off fired
     sync_ms: List[float] = field(default_factory=list)   # per-dispatch wall
     request_latency_s: List[float] = field(default_factory=list)
 
@@ -131,6 +132,8 @@ class BatcherMetrics:
         if self.spec_rounds:
             d["spec_rounds"] = self.spec_rounds
             d["tokens_per_round"] = round(self.tokens_per_round, 2)
+        if self.spec_auto_off_step is not None:
+            d["spec_auto_off_step"] = self.spec_auto_off_step
         return d
 
 
@@ -227,6 +230,7 @@ class ContinuousBatcher:
         spec_k: int = 3,
         spec_ngram: int = 2,
         spec_chunk: int = 1,
+        spec_min_tpr: float = 1.5,
     ):
         """``speculative="ngram"``: draft-free prompt-lookup speculation in
         serve mode (VERDICT r03 item 6). Each step runs ``spec_chunk``
@@ -243,7 +247,18 @@ class ContinuousBatcher:
         this mode). decode_chunk must stay 1 (rounds are the sync
         amortizer: spec_chunk rounds x up to k+1 tokens per host
         round-trip, with chunk-granular stop/budget checks like
-        decode_chunk)."""
+        decode_chunk).
+
+        ``spec_min_tpr``: speculation AUTO-OFF threshold. Acceptance is a
+        workload property, not a config property — the r05 hardware
+        session measured the same 1.5B ngram spec serve at +60% on greedy
+        repeat traffic (r04) but 0.43x at temperature 0.2 (349.8 vs 814.2
+        tok/s, tokens_per_round 1.81): sampling breaks the output loops
+        prompt-lookup feeds on. The batcher watches windowed
+        tokens-per-round telemetry and permanently falls back to the plain
+        decode path when it drops below this threshold (1.5 is
+        conservatively below every measured breakeven; 0 disables
+        auto-off — A/B runs that must hold the spec path pass 0)."""
         from zig_gpt2_tpu.parallel.mesh import prepare_serving
 
         self._spec = None
@@ -284,11 +299,18 @@ class ContinuousBatcher:
         # positions, so the linear layout pays B unrolled dus appends per
         # array per step (15.4% of the 1.5B B=16 step, hlo_stats r04); the
         # ring write pointer collapses them to ONE batch-spanning dus.
-        # Speculative serve extends (not decode-steps) — linear there;
-        # mesh serving keeps linear until the step-SPMD body carries the
-        # ring state. ZG2_RING=0 is the A/B escape.
-        self._ring = (self._spec is None and mesh is None
-                      and os.environ.get("ZG2_RING", "1") != "0")
+        # Speculative serve extends (not decode-steps) — linear there.
+        # Under a mesh, ring rides the step-SPMD body (single-device code
+        # per shard, start batch-sharded + wptr replicated) or the plain
+        # GSPMD jnp path; only the op-level shard_map attention kernels
+        # can't take the start operand. ZG2_RING=0 is the A/B escape.
+        ring_ok = self._spec is None
+        if ring_ok and mesh is not None:
+            from zig_gpt2_tpu.parallel import step_spmd
+
+            ring_ok = (step_spmd.enabled(config)
+                       or not gpt2._use_sharded_kernels(config))
+        self._ring = ring_ok and os.environ.get("ZG2_RING", "1") != "0"
         if self._ring:
             import dataclasses
 
@@ -347,8 +369,10 @@ class ContinuousBatcher:
             self._data_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
             # Single-slot admission caches are B=1 — the batch axis can't
             # shard over dp>1, so they ride model-sharded/data-replicated.
+            # Slot caches are LINEAR even under a ring config (rotated
+            # into ring position on splice) — no ring leaves here.
             self._slot_shardings = pmesh.cache_shardings(
-                mesh, config, quant=kv_quant, data_sharded=False
+                mesh, config, quant=kv_quant, data_sharded=False, ring=False
             )
         else:
             self._cache_fmt = None if config.spmd else cache_formats(self.cache)
@@ -442,8 +466,12 @@ class ContinuousBatcher:
                 out_shardings=(self._cache_fmt, hs2, hs1, hs1,
                                None, None, hs1, None),
             )
-            decode_sample = None
-        elif step_spmd.enabled(config):
+        # The PLAIN decode chunk is built even in speculative mode: it is
+        # the auto-off fallback (spec_min_tpr; chunk=1 there — spec mode
+        # enforces decode_chunk=1). jax.jit is lazy, so the fallback costs
+        # nothing unless speculation actually loses. step_spmd never
+        # applies under spec (prepare_serving gated it off above).
+        if step_spmd.enabled(config):
             # Whole chunk in ONE manual-SPMD region (see parallel/step_spmd).
             decode_sample = step_spmd.make_chunk_fn(
                 config, params, kv_quant, chunk, sampling.temperature,
@@ -466,13 +494,25 @@ class ContinuousBatcher:
                 )
                 return cache, consumed, nxt, key  # consumed: (chunk, B)
 
-        if decode_sample is not None:
-            self._decode = jax.jit(
-                decode_sample, donate_argnums=(1, 2),
-                out_shardings=(self._cache_fmt, None, None, None),
-            )
+        self._decode = jax.jit(
+            decode_sample, donate_argnums=(1, 2),
+            out_shardings=(self._cache_fmt, None, None, None),
+        )
 
         self.metrics = BatcherMetrics()
+        # Speculation auto-off state (see spec_min_tpr in the docstring):
+        # a sliding window of per-sync (live slot-rounds, committed tokens).
+        self._spec_min_tpr = float(spec_min_tpr)
+        self._spec_off = False
+        self._tpr_window: Deque[tuple] = deque(maxlen=8)
+        # Per-slot refeed flags, set at the auto-off switch: spec mode's
+        # feed token is ALREADY emitted (a round commits what it produces;
+        # the feed is the last committed token, its KV row still pending),
+        # while the plain path emits what it consumes — so the first plain
+        # consume after the switch must drop that token or it would be
+        # emitted twice. Cleared at admission (fresh slots follow the
+        # plain convention).
+        self._refeed = [False] * batch_size
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.queue: Deque[Request] = deque()
         self.finished: List[Request] = []
@@ -584,7 +624,7 @@ class ContinuousBatcher:
         active = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return {}
-        if self._spec is not None:
+        if self._spec is not None and not self._spec_off:
             return self._step_spec(active)
 
         t0 = time.perf_counter()
@@ -601,9 +641,12 @@ class ContinuousBatcher:
 
         emitted: Dict[int, List[int]] = {}
         for i, req in active:
-            self._consume(i, req,
-                          [int(consumed[j, i])  # token consumed at sub-step j
-                           for j in range(self.decode_chunk)], emitted)
+            toks = [int(consumed[j, i])  # token consumed at sub-step j
+                    for j in range(self.decode_chunk)]
+            if self._refeed[i]:  # spec auto-off: feed was already emitted
+                self._refeed[i] = False
+                toks = toks[1:]
+            self._consume(i, req, toks, emitted)
         return emitted
 
     def _consume(self, i: int, req: Request, toks: List[int],
@@ -651,6 +694,7 @@ class ContinuousBatcher:
         self.metrics.spec_rounds += rounds
 
         emitted: Dict[int, List[int]] = {}
+        sync_rounds = sync_committed = 0
         for i, req in active:
             if req.fresh:
                 req.fresh = False
@@ -666,9 +710,31 @@ class ContinuousBatcher:
                 n = int(ns[r, i])
                 self.metrics.spec_slot_rounds += 1
                 self.metrics.spec_committed += n
+                sync_rounds += 1
+                sync_committed += n
                 self._consume(i, req,
                               [int(emits[r, i, j]) for j in range(n)],
                               emitted)
+        # Speculation auto-off (spec_min_tpr): once the sliding window
+        # holds enough evidence, a below-breakeven acceptance rate flips
+        # the batcher PERMANENTLY onto the plain decode path — acceptance
+        # is workload-determined and a workload that stopped looping
+        # rarely starts again; one-way keeps the law simple and the
+        # telemetry honest (tokens_per_round stops accumulating garbage).
+        if self._spec_min_tpr > 0.0 and not self._spec_off:
+            self._tpr_window.append((sync_rounds, sync_committed))
+            w_rounds = sum(r for r, _ in self._tpr_window)
+            if len(self._tpr_window) >= 4 and w_rounds >= 64:
+                if sum(c for _, c in self._tpr_window) < (
+                        self._spec_min_tpr * w_rounds):
+                    self._spec_off = True
+                    self.metrics.spec_auto_off_step = self.metrics.steps
+                    for i, req in active:
+                        # Slots that ran a spec round have their feed
+                        # token already emitted (see _refeed) — unless
+                        # still fresh (never stepped) or retired just now.
+                        if self.slots[i] is req and not req.fresh:
+                            self._refeed[i] = True
         return emitted
 
     def run(self) -> List[Request]:
@@ -800,6 +866,7 @@ class ContinuousBatcher:
         for i, req, usable in chunk:
             req.slot = i
             req.fresh = self._spec is not None
+            self._refeed[i] = False
             self.slots[i] = req
             self.metrics.prefix_hits += 1
             self.metrics.prefill_tokens_saved += usable
@@ -881,6 +948,7 @@ class ContinuousBatcher:
                 for i, req in chunk:
                     req.slot = i
                     req.fresh = self._spec is not None
+                    self._refeed[i] = False
                     self.slots[i] = req
                 self.metrics.prefills += k
                 self.metrics.prefill_s += time.perf_counter() - t0
